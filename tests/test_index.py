@@ -1,0 +1,164 @@
+"""Index build invariants, WAND rank-identity, resume (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.functions import codec
+from torchtrajectory_spark.operators.index import (
+    build_index,
+    postings_flat,
+    read_doc_stats,
+    read_manifest,
+    read_postings,
+)
+from torchtrajectory_spark.operators.stats import term_freqs, tokenized
+from torchtrajectory_spark.operators.topk import topk_bm25
+from torchtrajectory_spark.operators.wand import topk_bm25_index
+from torchtrajectory_spark.sources.corpus import synth_corpus
+
+N_ROWS = 400
+BUCKETS = 8
+SEGS = 3
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_ROWS, partitions=8)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx"))
+    build_index(
+        spark, corpus, d,
+        id_col="doc_id", text_col="content", analyzer="code",
+        meta_cols=("repo", "path", "commit", "lang"),
+        n_segments=SEGS, buckets=BUCKETS,
+    )
+    return d
+
+
+def test_manifest_complete(spark, index_dir):
+    m = read_manifest(spark, index_dir).toPandas()
+    assert sorted(m["segment"]) == list(range(SEGS))
+    assert (m["status"] == "ok").all()
+    assert (m["row_count"] > 0).all()
+    assert (m["bytes"] > 0).all()
+    assert m["row_count"].sum() == N_ROWS
+
+
+def test_postings_flat_equals_term_freqs(spark, corpus, index_dir):
+    """Decoded index == direct DataFrame term frequencies (lossless)."""
+    flat = postings_flat(spark, index_dir).select("term", "doc_id", "tf")
+    direct = term_freqs(
+        tokenized(corpus, "doc_id", "content", "code")
+    ).select("term", "doc_id", F.col("tf").cast("bigint").alias("tf"))
+    assert flat.subtract(direct).count() == 0
+    assert direct.subtract(flat).count() == 0
+
+
+def test_block_invariants(spark, index_dir):
+    """Blocks sorted by docID; metadata brackets members; max_tf/min_dl sound."""
+    rows = read_postings(spark, index_dir).collect()
+    assert rows
+    seen_salted = False
+    for r in rows:
+        docs = codec.decode_sorted(bytes(r["doc_gaps"]))
+        tfs = codec.decode_u32s(bytes(r["tfs"]))
+        dls = codec.decode_u32s(bytes(r["dls"]))
+        assert (np.diff(docs) > 0).all()  # strictly increasing (unique docs)
+        assert docs[0] == r["first_doc"] and docs[-1] == r["last_doc"]
+        assert len(docs) == r["n_docs"] == len(tfs) == len(dls)
+        assert tfs.max() == r["max_tf"]
+        assert dls.min() == r["min_dl"]
+        assert len(docs) <= 128
+        if r["salt"] > 0:
+            seen_salted = True
+    assert seen_salted, "Zipf corpus must trigger hot-term salting"
+
+
+def test_doc_stats_sha_invariant(spark, corpus, index_dir):
+    """Per-row content sha256 from the index == recomputed from source."""
+    ds = read_doc_stats(spark, index_dir).select("doc_id", "content_sha256")
+    src = corpus.select("doc_id", F.sha2("content", 256).alias("content_sha256"))
+    assert ds.subtract(src).count() == 0
+    assert src.subtract(ds).count() == 0
+
+
+@pytest.mark.parametrize(
+    "q,k",
+    [
+        (["def", "return", "id_0"], 10),
+        (["id_100", "id_2000"], 5),
+        (["class"], 25),
+        (["nosuchtermxyz"], 10),
+        (["def", "def", "import"], 10),  # duplicate query terms
+    ],
+)
+def test_wand_rank_identical_to_brute(spark, corpus, index_dir, q, k):
+    got = topk_bm25_index(spark, index_dir, q, k, buckets=BUCKETS).collect()
+    exp = (
+        topk_bm25(corpus, q, k, id_col="doc_id", text_col="content",
+                  analyzer="code")
+        .collect()
+    )
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+    # scores: brute path exposes score_u6; recompute comparison at 1e-9
+    got_scores = {r["doc_id"]: r["score"] for r in got}
+    for r in exp:
+        assert abs(got_scores[r["doc_id"]] * 1e6 - r["score_u6"]) < 1.0
+
+
+def test_resume_byte_identical(spark, corpus, tmp_path_factory):
+    """Kill after 1 segment, resume; postings logically identical to a
+    single uninterrupted build; exactly one ok attempt per segment."""
+    d_full = str(tmp_path_factory.mktemp("idx_full"))
+    d_resume = str(tmp_path_factory.mktemp("idx_resume"))
+    kw = dict(id_col="doc_id", text_col="content", analyzer="code",
+              n_segments=SEGS, buckets=BUCKETS)
+    build_index(spark, corpus, d_full, **kw)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, d_resume, fail_after_segments=1, **kw)
+    m = read_manifest(spark, d_resume).toPandas()
+    assert len(m) == 1  # only the committed segment
+    build_index(spark, corpus, d_resume, **kw)  # resume fills the rest
+    m2 = read_manifest(spark, d_resume).toPandas()
+    assert sorted(m2["segment"]) == list(range(SEGS))
+    assert (m2["attempt"] == 1).all()
+    cols = ["segment", "bucket", "term", "salt", "block_id", "n_docs",
+            "first_doc", "last_doc", "max_tf", "min_dl",
+            "doc_gaps", "tfs", "dls"]
+    a = read_postings(spark, d_full).select(*cols)
+    b = read_postings(spark, d_resume).select(*cols)
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+
+
+def test_skew_salting_bounds_sublists(spark, index_dir):
+    """No (term, salt) sub-list of a hot term dwarfs the others (FIXTURES §5)."""
+    p = read_postings(spark, index_dir)
+    hot = (
+        p.groupBy("segment", "term")
+        .agg(F.countDistinct("salt").alias("nsalts"), F.sum("n_docs").alias("nd"))
+        .where(F.col("nsalts") > 1)
+        .collect()
+    )
+    assert hot, "expected salted hot terms"
+    sizes = (
+        p.join(
+            spark.createDataFrame(
+                [(r["segment"], r["term"]) for r in hot], "segment int, term string"
+            ),
+            ["segment", "term"],
+        )
+        .groupBy("segment", "term", "salt")
+        .agg(F.sum("n_docs").alias("nd"))
+        .toPandas()
+    )
+    for _key, g in sizes.groupby(["segment", "term"]):
+        assert g["nd"].max() <= 4 * max(1.0, g["nd"].mean())

@@ -1,0 +1,380 @@
+"""Inverted-index build: SPIMI emit -> term-hash merge -> compressed blocks.
+
+Re-expresses T-Torch's index build (``mapMatching/TorSaver.java:85-100`` ->
+``base/invertedIndex/InvertedIndex.java:49-136``) as a distributed,
+segmented, resumable Spark job:
+
+* **emit** (SPIMI map phase): ``mapInPandas`` over corpus partitions —
+  tokenize + per-doc tf aggregation *inside* the Arrow batch, so the raw
+  position stream never hits a shuffle (the per-partition in-memory
+  accumulation of ``EdgeInvertedIndex.index:41-49``, done right: true tf).
+* **merge** (ONE shuffle): repartition by ``(bucket=crc32(term)%B, salt)``;
+  hot terms (df above a fraction of the segment) are salted into
+  ``SALT_FACTOR`` independent sub-lists (SURVEY.md §4.3.2) — each sub-list
+  is internally docID-sorted, and WAND treats sub-lists as extra block
+  streams, so no re-merge is ever needed.
+* **blocks**: per term(+salt), docID-sorted postings are cut into
+  <=BLOCK_SIZE-doc blocks; docIDs delta+varint, tfs varint, dls varint
+  (codec.py = analog of JavaFastPFOR at ``InvertedIndex.java:116-117``).
+  Per-block metadata ``(first_doc, last_doc, n_docs, max_tf, min_dl)``
+  yields a sound BM25 upper bound at query time
+  (``idf * tf_sat(max_tf, min_dl)``) — the block-max analog of the
+  reference's ``restDistance`` remaining-score bound
+  (``EdgeInvertedIndex.java:148-151,226-227``).
+* **segments** (checkpoint/resume): the corpus is split into S doc-shards
+  by ``pmod(xxhash64(id), S)``; each shard's doc_stats + postings are
+  written atomically under ``segment=<s>/`` followed by a manifest row with
+  input fingerprint, row/byte counts and duration. A restarted build skips
+  segments whose manifest row says ``ok`` (the reference has no real
+  resume — SURVEY.md §4.3.4; this is new engineering).
+
+At 10^12-file scale: S = O(10^4) segments, B = O(10^3) buckets; every stage
+is bounded by segment x bucket, nothing ever collects postings to the
+driver, and the only global state is the tiny (N, avgdl) scalar pair.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import (
+    BLOCK_SIZE,
+    DEFAULT_BUCKETS,
+    HOT_TERM_DF_FRACTION,
+    SALT_FACTOR,
+)
+from ..functions import codec
+from ..functions.tokenizer import tokenize_py
+from .stats import doc_stats as doc_stats_df
+
+POSTINGS_SCHEMA = (
+    "bucket int, term string, salt int, block_id int, n_docs int, "
+    "first_doc bigint, last_doc bigint, max_tf int, min_dl bigint, "
+    "doc_gaps binary, tfs binary, dls binary"
+)
+
+EMIT_SCHEMA = "term string, doc_id bigint, tf int, dl bigint"
+
+
+def bucket_of(term: str, buckets: int) -> int:
+    """crc32-based term bucket — identical in Python and Spark (F.crc32)."""
+    return zlib.crc32(term.encode("utf-8")) % buckets
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def doc_stats(self) -> str:
+        return os.path.join(self.root, "doc_stats")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def seg(self, base: str, s: int) -> str:
+        return os.path.join(base, f"segment={s}")
+
+
+def _emit_fn(id_col: str, text_col: str, analyzer: str):
+    """SPIMI map phase: corpus batch -> (term, doc_id, tf, dl) rows."""
+
+    def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            toks = [tokenize_py(t or "", analyzer) for t in pdf[text_col]]
+            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                               count=len(toks))
+            ids = pdf[id_col].to_numpy()
+            doc_rep = np.repeat(ids, lens)
+            dl_rep = np.repeat(lens, lens)
+            if doc_rep.size == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks
+                                   if t])
+            g = (
+                pd.DataFrame({"term": flat, "doc_id": doc_rep, "dl": dl_rep})
+                .groupby(["doc_id", "term"], sort=False)
+                .agg(tf=("term", "size"), dl=("dl", "first"))
+                .reset_index()
+            )
+            yield g[["term", "doc_id", "tf", "dl"]].astype(
+                {"tf": "int32", "dl": "int64"}
+            )
+
+    return emit
+
+
+def _build_blocks(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Merge phase kernel: one (bucket, salt) group -> compressed blocks.
+
+    Sorts by (term, doc_id) once, then slices per term into <=block_size
+    blocks; all codec work is vectorized numpy over the group.
+    """
+    out: dict[str, list] = {k: [] for k in (
+        "bucket", "term", "salt", "block_id", "n_docs", "first_doc",
+        "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls")}
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    bucket = int(pdf["bucket"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    terms = pdf["term"].to_numpy()
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["dl"].to_numpy(dtype=np.int64)
+    # term boundaries
+    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(terms)]))
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        term = terms[s]
+        for bid, bs in enumerate(range(s, e, block_size)):
+            be = min(bs + block_size, e)
+            d, t, lv = docs[bs:be], tfs[bs:be], dls[bs:be]
+            out["bucket"].append(bucket)
+            out["term"].append(term)
+            out["salt"].append(salt)
+            out["block_id"].append(bid)
+            out["n_docs"].append(be - bs)
+            out["first_doc"].append(int(d[0]))
+            out["last_doc"].append(int(d[-1]))
+            out["max_tf"].append(int(t.max()))
+            out["min_dl"].append(int(lv.min()))
+            out["doc_gaps"].append(codec.encode_sorted(d))
+            out["tfs"].append(codec.encode_u32s(t))
+            out["dls"].append(codec.encode_u32s(lv))
+    return pd.DataFrame(out)
+
+
+def emit_postings(corpus: DataFrame, id_col: str, text_col: str,
+                  analyzer: str) -> DataFrame:
+    return corpus.select(id_col, text_col).mapInPandas(
+        _emit_fn(id_col, text_col, analyzer), schema=EMIT_SCHEMA
+    )
+
+
+def build_segment_postings(
+    spark: SparkSession,
+    seg_corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    analyzer: str,
+    buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    salt_factor: int = SALT_FACTOR,
+    hot_fraction: float = HOT_TERM_DF_FRACTION,
+) -> tuple[DataFrame, DataFrame]:
+    """Compressed postings blocks for one doc segment.
+
+    Returns (blocks_df, persisted_emit_df) — caller unpersists after write.
+    """
+    emit = emit_postings(seg_corpus, id_col, text_col, analyzer).persist()
+    n_docs = emit.select(F.countDistinct("doc_id")).first()[0] or 0
+    hot_cut = max(2, int(hot_fraction * n_docs))
+    hot = [
+        r["term"]
+        for r in emit.groupBy("term").count()
+        .where(F.col("count") >= hot_cut).select("term").collect()
+    ]
+    salt_col = (
+        F.when(
+            F.col("term").isin(hot),
+            F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor)).cast("int"),
+        ).otherwise(F.lit(0))
+        if hot
+        else F.lit(0).cast("int")
+    )
+    with_keys = emit.select(
+        "*",
+        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(buckets))
+        .cast("int").alias("bucket"),
+        salt_col.alias("salt"),
+    )
+    blocks = with_keys.groupBy("bucket", "salt").applyInPandas(
+        lambda pdf: _build_blocks(pdf, block_size), schema=POSTINGS_SCHEMA
+    )
+    return blocks, emit
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "ws",
+    meta_cols: tuple[str, ...] = (),
+    n_segments: int = 1,
+    buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    resume: bool = True,
+    fail_after_segments: int | None = None,
+) -> None:
+    """Full segmented, resumable index build.
+
+    ``fail_after_segments`` injects a crash after that many segments have
+    committed — used by the resume test (FIXTURES.md §5).
+    """
+    paths = IndexPaths(index_dir)
+    os.makedirs(paths.manifest, exist_ok=True)
+    _write_index_config(index_dir, {
+        "buckets": buckets, "n_segments": n_segments,
+        "block_size": block_size, "analyzer": analyzer,
+        "id_col": id_col, "text_col": text_col,
+    })
+    done = _done_segments(spark, paths) if resume else set()
+
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int")
+    corpus = corpus.withColumn("_seg", shard)
+
+    built = 0
+    for s in range(n_segments):
+        if s in done:
+            continue
+        t0 = time.monotonic()
+        seg = corpus.where(F.col("_seg") == s).drop("_seg").persist()
+
+        # --- doc_stats (dl + sha256 invariant + metadata cols) ---
+        ds = doc_stats_df(seg, id_col, text_col, analyzer, meta_cols)
+        _atomic_write(ds, paths.seg(paths.doc_stats, s))
+
+        # --- postings blocks ---
+        blocks, emit = build_segment_postings(
+            spark, seg, id_col, text_col, analyzer, buckets, block_size
+        )
+        _atomic_write(
+            blocks.sortWithinPartitions("bucket", "term"),
+            paths.seg(paths.postings, s),
+        )
+        emit.unpersist()
+
+        # --- lineage + metrics manifest row (committed last = the marker) ---
+        fp_row = seg.select(
+            F.xxhash64(F.col(id_col), F.sha2(F.col(text_col), 256)).alias("h")
+        ).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("rows")).first()
+        written = spark.read.parquet(paths.seg(paths.postings, s))
+        wstats = written.agg(
+            F.count("*").alias("blocks"),
+            F.sum(
+                F.octet_length("doc_gaps") + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+        ).first()
+        manifest_row = pd.DataFrame(
+            [{
+                "segment": s,
+                "input_fingerprint": format((fp_row["fp"] or 0) & (2**64 - 1), "016x"),
+                "row_count": int(fp_row["rows"] or 0),
+                "block_count": int(wstats["blocks"] or 0),
+                "bytes": int(wstats["bytes"] or 0),
+                "duration_ms": int((time.monotonic() - t0) * 1000),
+                "status": "ok",
+                "attempt": 1,
+            }]
+        )
+        _atomic_write(
+            spark.createDataFrame(manifest_row),
+            os.path.join(paths.manifest, f"segment={s}"),
+        )
+        seg.unpersist()
+        built += 1
+        if fail_after_segments is not None and built >= fail_after_segments:
+            raise RuntimeError(f"injected failure after {built} segments")
+
+
+def _write_index_config(index_dir: str, cfg: dict) -> None:
+    import json
+
+    os.makedirs(index_dir, exist_ok=True)
+    with open(os.path.join(index_dir, "index_config.json"), "w") as f:
+        json.dump(cfg, f)
+
+
+def read_index_config(index_dir: str) -> dict:
+    import json
+
+    with open(os.path.join(index_dir, "index_config.json")) as f:
+        return json.load(f)
+
+
+def _atomic_write(df: DataFrame, path: str) -> None:
+    """Write-then-rename for atomic per-segment commit."""
+    tmp = path + ".__tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def _done_segments(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    segs = set()
+    if not os.path.isdir(paths.manifest):
+        return segs
+    for d in os.listdir(paths.manifest):
+        if d.startswith("segment="):
+            try:
+                m = spark.read.parquet(os.path.join(paths.manifest, d)).first()
+                if m and m["status"] == "ok":
+                    segs.add(int(d.split("=")[1]))
+            except Exception:
+                continue
+    return segs
+
+
+def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(IndexPaths(index_dir).manifest, "segment=*"))
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    p = IndexPaths(index_dir)
+    return spark.read.option("basePath", p.postings).parquet(
+        os.path.join(p.postings, "segment=*")
+    )
+
+
+def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    p = IndexPaths(index_dir)
+    return spark.read.option("basePath", p.doc_stats).parquet(
+        os.path.join(p.doc_stats, "segment=*")
+    )
+
+
+def postings_flat(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Decode blocks back to (term, doc_id, tf, dl) rows — index-backed
+    boolean queries and invariant tests build on this."""
+    blocks = read_postings(spark, index_dir)
+
+    def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                docs = codec.decode_sorted(r.doc_gaps)
+                frames.append(pd.DataFrame({
+                    "term": r.term,
+                    "doc_id": docs,
+                    "tf": codec.decode_u32s(r.tfs),
+                    "dl": codec.decode_u32s(r.dls),
+                }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return blocks.select("term", "doc_gaps", "tfs", "dls").mapInPandas(
+        explode_blocks, schema="term string, doc_id bigint, tf bigint, dl bigint"
+    )

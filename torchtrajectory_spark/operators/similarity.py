@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline (JVM-side ``zip_with`` +
+  ``aggregate``: float64, array-order summation — deterministic);
+* IVF-bucketed ANN — the scale path: assign every vector to its nearest
+  of C deterministic centroids (one broadcast join), probe only the
+  query's nearest cells. At 10^12 scale the assignment is a write-once
+  partitioning (cluster-by cell), probes touch ~C/n_probe of the data.
+
+Embedding near-dup (cosine >= tau pairs, LSH-bucketed) lives here too —
+it is the embedding leg of the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine vs the embedding of ``query_vec_id``.
+
+    Excludes the query vector itself; (vec_id, cos_u6) ordered
+    (cos DESC, vec_id ASC) LIMIT k -> TakeOrderedAndProject.
+    """
+    q = emb.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    cos = cosine_expr(F.col(vec_col), F.col("qvec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            cos.alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell) — nearest centroid by cosine; centroids are the first
+    ``n_centroids`` vectors by id (training-free, deterministic).
+
+    Tie-break: highest cosine, then smallest centroid id (row_number)."""
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
+        .crossJoin(F.broadcast(cents)) \
+        .select(
+            "vec_id", "cent_id",
+            cosine_expr(F.col("v"), F.col("cvec")).alias("cos"),
+        )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, query_vec_id: int, k: int,
+                 n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` nearest cells, exact within.
+
+    Deterministic approximate algorithm — the DuckDB oracle runs the same
+    algorithm and must agree exactly (not merely approximately).
+    """
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    q = emb.where(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("qvec")
+    )
+    probe_cells = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cent_id", cosine_expr(F.col("cvec"), F.col("qvec")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+        .limit(n_probe)
+        .select(F.col("cent_id").alias("cell"))
+    )
+    cands = assign.join(F.broadcast(probe_cells), "cell").select(
+        F.col("vec_id").alias("cand_id")
+    )
+    scored = (
+        emb.join(cands, F.col(id_col) == F.col("cand_id"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col).alias("vid"),
+            cosine_expr(F.col(vec_col), F.col("qvec")).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vid").asc())
+        .limit(k)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"),
+        )
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """(vec_a, vec_b, cos_u6) pairs with cosine >= threshold.
+
+    Candidate generation at scale: bucket by IVF cell first (near-dups land
+    in the same or adjacent cells with high probability); here exact within
+    cell — documented recall/cost tradeoff of the bucketed variant."""
+    assign = ivf_assign(emb, N_CENTROIDS, id_col, vec_col).select(
+        F.col("vec_id").alias("cand_id"), "cell"
+    )
+    e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_expr(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b",
+                F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
+    )

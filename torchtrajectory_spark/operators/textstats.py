@@ -1,0 +1,112 @@
+"""Text analysis for training-data pipelines: language ID, quality scoring,
+token counting, document fingerprinting.
+
+All pure Catalyst expressions (codegen'd, zero Python) — these run in the
+same scan as tokenization at ingest time, so at 100 TB they are free riders
+on the SPIMI emit pass. Each has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .stats import tokenized
+
+# fixed marker wordsets for the n-gram/keyword language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "code": ("def", "return", "class", "import", "public", "static"),
+    "data": ("table", "row", "column", "query", "join", "agg"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+FP_K = 5  # fingerprint shingle width
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text", analyzer: str = "ws") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_seen, avg_token_len_u6)."""
+    tok = tokenized(df, id_col, text_col, analyzer)
+    tlen = F.aggregate(
+        F.transform(F.col("tokens"), lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return tok.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        tlen.alias("n_token_chars"),
+        F.round(tlen / F.greatest(F.size("tokens"), F.lit(1)) * 1e6)
+        .cast("bigint")
+        .alias("avg_token_len_u6"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", analyzer: str = "ws") -> DataFrame:
+    """(doc_id, n_tokens, stopword_ratio_u6, distinct_ratio_u6, quality_u6).
+
+    quality = distinct_ratio * (1 - stopword_ratio) — a deterministic toy
+    of the usual length/stopword/repetition heuristics.
+    """
+    tok = tokenized(df, id_col, text_col, analyzer)
+    n = F.size("tokens").cast("double")
+    n_stop = F.size(
+        F.filter(F.col("tokens"), lambda t: t.isin(list(STOPWORDS)))
+    ).cast("double")
+    n_distinct = F.size(F.array_distinct("tokens")).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    stop_ratio = n_stop / safe_n
+    distinct_ratio = n_distinct / safe_n
+    return tok.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio * 1e6).cast("bigint").alias("stopword_ratio_u6"),
+        F.round(distinct_ratio * 1e6).cast("bigint").alias("distinct_ratio_u6"),
+        F.round(distinct_ratio * (F.lit(1.0) - stop_ratio) * 1e6)
+        .cast("bigint")
+        .alias("quality_u6"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            analyzer: str = "ws") -> DataFrame:
+    """(doc_id, pred_lang, hits) — argmax of marker-wordset hit counts,
+    deterministic tie-break on lang name ascending."""
+    tok = tokenized(df, id_col, text_col, analyzer)
+
+    def _marker_filter(markers: list[str]):
+        # NB: a 2-arg lambda would be called as (element, index) by F.filter
+        return lambda t: t.isin(markers)
+
+    # argmax via struct sort: (-hits, lang) ascending -> (hits desc, lang asc)
+    neg_cols = []
+    for lang in sorted(LANG_MARKERS):
+        hit = F.size(
+            F.filter(F.col("tokens"), _marker_filter(list(LANG_MARKERS[lang])))
+        ).cast("bigint")
+        neg_cols.append(
+            F.struct((-hit).alias("neg_hits"), F.lit(lang).alias("lang"),
+                     hit.alias("hits"))
+        )
+    best = F.sort_array(F.array(*neg_cols), asc=True)[0]
+    return tok.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                analyzer: str = "ws", k: int = FP_K) -> DataFrame:
+    """(doc_id, fp) — winnowing-lite document fingerprint: the minimum md5
+    over k-gram shingles (rolling-hash analog, engine-portable)."""
+    sh = shingles(df, id_col, text_col, analyzer, k)
+    return sh.select(
+        "doc_id",
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(s))
+        ).alias("fp"),
+    )

@@ -1,0 +1,167 @@
+"""ANSI-SQL (DuckDB) oracle builders for every SQL-expressible operator.
+
+Each function returns a SQL string over the driver-registered views
+(``documents``, ``events``, ``lineitem``, ...). Column names and value
+encodings (e.g. ``score_u6`` = round(score*1e6) BIGINT) are kept in exact
+lockstep with the Spark implementations so the driver's order-insensitive
+value-hash comparison passes bit-for-bit.
+
+Tokenization parity: Spark ``filter(split(lower(text),' '), x -> x != '')``
+== DuckDB ``string_split(lower(text), ' ')`` filtered on non-empty.
+"""
+
+from __future__ import annotations
+
+from ..config import BM25_B, BM25_K1
+
+
+def _terms_list(terms: list[str]) -> str:
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+
+
+TOK_CTE = """
+tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+)
+""".strip()
+
+
+def bm25_topk_sql(terms: list[str], k: int,
+                  k1: float = BM25_K1, b: float = BM25_B) -> str:
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def bool_or_sql(terms: list[str]) -> str:
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE}
+SELECT DISTINCT doc_id FROM tok WHERE term IN ({tl})
+""".strip()
+
+
+def bool_and_sql(terms: list[str]) -> str:
+    ts = sorted(set(terms))
+    tl = _terms_list(ts)
+    return f"""
+WITH {TOK_CTE}
+SELECT doc_id
+FROM tok
+WHERE term IN ({tl})
+GROUP BY doc_id
+HAVING count(DISTINCT term) = {len(ts)}
+""".strip()
+
+
+def term_stats_sql(terms: list[str]) -> str:
+    """df + idf (x1e6, BIGINT) for a fixed term list — dictionary build."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE},
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tok)
+SELECT term,
+       count(*) AS df,
+       CAST(round(ln(1 + (n.n_docs - count(*) + 0.5) / (count(*) + 0.5)) * 1e6)
+            AS BIGINT) AS idf_u6
+FROM tf CROSS JOIN n
+WHERE term IN ({tl})
+GROUP BY term, n.n_docs
+""".strip()
+
+
+def doc_stats_sql() -> str:
+    """dl + sha256(content) — the per-row invariant surface."""
+    return f"""
+WITH {TOK_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+SELECT d.doc_id, coalesce(dl.dl, 0) AS dl, sha256(d.text) AS content_sha256
+FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id
+""".strip()
+
+
+def time_filter_contains_sql(lo: str, hi: str) -> str:
+    """Events strictly inside a time interval (F2 'contains' semantics,
+    reference TimeInterval.java:19-33)."""
+    return f"""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ts > TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'
+""".strip()
+
+
+def time_span_overlap_sql(lo: str, hi: str) -> str:
+    """Per-user activity span overlapping a query interval (F2 'joins')."""
+    return f"""
+WITH spans AS (
+  SELECT user_id, min(ts) AS ts_start, max(ts) AS ts_end, count(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events
+FROM spans
+WHERE ts_start <= TIMESTAMP '{hi}' AND ts_end >= TIMESTAMP '{lo}'
+""".strip()
+
+
+def grid_cells_sql(cell: float) -> str:
+    """Tile-ID bucketing + per-cell counts (C4/J4 grid analog)."""
+    return f"""
+SELECT CAST(floor(value / {cell}) AS BIGINT) AS cell,
+       count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events
+GROUP BY 1
+""".strip()
+
+
+def resolve_topk_sql(terms: list[str], k: int) -> str:
+    """Top-k + doc-store resolution join (J7 analog: ids -> content)."""
+    inner = bm25_topk_sql(terms, k)
+    return f"""
+WITH topk AS ({inner})
+SELECT topk.doc_id, topk.score_u6, d.lang, d.n_chars
+FROM topk JOIN documents d ON topk.doc_id = d.doc_id
+""".strip()
+
+
+def anti_visited_sql(terms: list[str], visited_terms: list[str]) -> str:
+    """OR-match minus docs matching a 'visited' term set (U3/F6 analog)."""
+    a = bool_or_sql(terms)
+    b = bool_or_sql(visited_terms)
+    return f"SELECT doc_id FROM ({a}) EXCEPT SELECT doc_id FROM ({b})"

@@ -1,0 +1,270 @@
+"""DuckDB oracles for the training-data-pipeline operators
+(dedup / similarity / text analysis). Programmatically generated SQL,
+value-encoding-identical to the Spark implementations.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import BAND_SIZE, N_MINHASH, SHINGLE_K, SIMHASH_BITS
+from ..operators.similarity import N_CENTROIDS, N_PROBE
+from ..operators.textstats import FP_K, LANG_MARKERS, STOPWORDS
+
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, "
+    "list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks "
+    "FROM documents)"
+)
+
+
+def _shingle_cte(k: int) -> str:
+    return (
+        f"sh AS (SELECT doc_id, CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k} - 1), ' ')) "
+        f"ELSE [] END AS shingles FROM toks)"
+    )
+
+
+def dedup_exact_sql() -> str:
+    return """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_dups
+FROM documents
+GROUP BY sha256(text)
+""".strip()
+
+
+def minhash_signature_sql() -> str:
+    """(doc_id, h0..h{n-1}) minhash signature columns."""
+    cols = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || ':{i}')), 'min') AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)}
+SELECT doc_id, {cols} FROM sh WHERE len(shingles) > 0
+""".strip()
+
+
+def minhash_candidates_sql() -> str:
+    n_bands = N_MINHASH // BAND_SIZE
+    band_rows = []
+    for bidx in range(n_bands):
+        lo = bidx * BAND_SIZE
+        key = " || '|' || ".join(f"h{lo + j}" for j in range(BAND_SIZE))
+        band_rows.append(
+            f"SELECT doc_id, {bidx} AS band, md5({key}) AS band_key FROM sig"
+        )
+    bands = " UNION ALL ".join(band_rows)
+    sig_cols = ", ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || ':{i}')), 'min') AS h{i}"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)},
+sig AS (SELECT doc_id, {sig_cols} FROM sh WHERE len(shingles) > 0),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""".strip()
+
+
+def jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)},
+shx AS (SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shx GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(round(i::DOUBLE / (sa.n + sb.n - i) * 1e6) AS BIGINT) AS jac_u6
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
+""".strip()
+
+
+def _simhash_expr_sql() -> str:
+    """SQL CTEs computing (doc_id, simhash BIGINT) as in dedup.simhash."""
+    votes = []
+    for bit in range(SIMHASH_BITS):
+        pos = bit // 4 + 1
+        shift = 3 - (bit % 4)
+        nib = f"(instr('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        bitval = f"(({nib} // {2 ** shift}) % 2)"
+        votes.append(f"sum(tf * ({bitval} * 2 - 1)) AS v{bit}")
+    vote_cols = ", ".join(votes)
+    sh_sum = " + ".join(
+        f"(CASE WHEN v{bit} > 0 THEN CAST({2 ** bit} AS BIGINT) ELSE 0 END)"
+        for bit in range(SIMHASH_BITS)
+    )
+    return f"""
+tfx AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf, md5(term) AS h
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+),
+votes AS (SELECT doc_id, {vote_cols} FROM tfx GROUP BY doc_id),
+simh AS (SELECT doc_id, CAST({sh_sum} AS BIGINT) AS simhash FROM votes)
+""".strip()
+
+
+def simhash_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}, {_simhash_expr_sql()}
+SELECT doc_id, simhash FROM simh
+""".strip()
+
+
+def simhash_near_pairs_sql(max_hamming: int) -> str:
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, (simhash // {2 ** (c * 8)}) % 256 AS ck FROM simh"
+        for c in range(4)
+    )
+    return f"""
+WITH {TOKS_CTE}, {_simhash_expr_sql()},
+chunks AS ({chunk_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.ck = b.ck AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+""".strip()
+
+
+# ----------------------------- similarity --------------------------------
+
+COS_FN = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+def cosine_topk_sql(query_vec_id: int, k: int) -> str:
+    cos = COS_FN.format(a="e.embedding", b="q.embedding")
+    return f"""
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id, CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_u6
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY {cos} DESC, e.vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def _ivf_assign_cte() -> str:
+    cos = COS_FN.format(a="e.embedding", b="c.embedding")
+    return f"""
+cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+          WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cent_id, {COS_FN.format(a='e.embedding', b='c.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (SELECT cent_id, embedding FROM cents) c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+""".strip()
+
+
+def ann_ivf_topk_sql(query_vec_id: int, k: int) -> str:
+    cos_q = COS_FN.format(a="e.embedding", b="q.embedding")
+    cos_cq = COS_FN.format(a="c.embedding", b="q.embedding")
+    return f"""
+WITH {_ivf_assign_cte()},
+q AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+probe AS (
+  SELECT cent_id AS cell FROM cents c CROSS JOIN q
+  ORDER BY {cos_cq} DESC, cent_id ASC LIMIT {N_PROBE}
+),
+cands AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cell = p.cell)
+SELECT e.vec_id, CAST(round(({cos_q}) * 1e6) AS BIGINT) AS cos_u6
+FROM embeddings e JOIN cands ON e.vec_id = cands.vec_id CROSS JOIN q
+WHERE e.vec_id <> {query_vec_id}
+ORDER BY {cos_q} DESC, e.vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def embedding_near_dup_sql(threshold: float) -> str:
+    cos = COS_FN.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH {_ivf_assign_cte()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_u6
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE {cos} >= {threshold}
+""".strip()
+
+
+# ----------------------------- text stats --------------------------------
+
+def token_count_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       list_sum(list_transform(toks, t -> length(t)::BIGINT))::BIGINT
+         AS n_token_chars,
+       CAST(round(list_sum(list_transform(toks, t -> length(t)::BIGINT))::DOUBLE
+            / greatest(len(toks), 1) * 1e6) AS BIGINT) AS avg_token_len_u6
+FROM toks
+""".strip()
+
+
+def quality_score_sql() -> str:
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH {TOKS_CTE},
+m AS (
+  SELECT doc_id,
+         len(toks)::DOUBLE AS n,
+         len(list_filter(toks, t -> t IN ({stop})))::DOUBLE AS n_stop,
+         len(list_distinct(toks))::DOUBLE AS n_distinct
+  FROM toks
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(round(n_stop / greatest(n, 1) * 1e6) AS BIGINT) AS stopword_ratio_u6,
+       CAST(round(n_distinct / greatest(n, 1) * 1e6) AS BIGINT) AS distinct_ratio_u6,
+       CAST(round(n_distinct / greatest(n, 1) * (1 - n_stop / greatest(n, 1)) * 1e6)
+            AS BIGINT) AS quality_u6
+FROM m
+""".strip()
+
+
+def lang_id_sql() -> str:
+    structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        hits = f"len(list_filter(toks, t -> t IN ({markers})))::BIGINT"
+        structs.append(
+            f"{{'neg_hits': -{hits}, 'lang': '{lang}', 'hits': {hits}}}"
+        )
+    arr = ", ".join(structs)
+    return f"""
+WITH {TOKS_CTE},
+scored AS (SELECT doc_id, list_sort([{arr}]) AS s FROM toks)
+SELECT doc_id, s[1]['lang'] AS pred_lang, s[1]['hits'] AS hits FROM scored
+""".strip()
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(FP_K)}
+SELECT doc_id,
+       list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
+FROM sh
+""".strip()

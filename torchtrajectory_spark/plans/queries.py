@@ -1,0 +1,312 @@
+"""Query registry: named (spark, sf_dir) -> DataFrame callables + oracles.
+
+This is the engine's public query surface (analog of T-Torch's
+``queryEngine/Engine.java`` entry points: findTopK / findOnPath /
+findInRange + resolver), instantiated over the driver test tables. Every
+entry has a DuckDB oracle in ``oracles.py`` with identical column names and
+value encodings.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_K
+from ..functions.bm25 import idf_expr
+from ..operators import boolean, dedup, similarity, textstats, topk
+from ..operators.index import build_index, postings_flat
+from ..operators.stats import term_freqs, tokenized
+from ..operators.wand import topk_bm25_index
+from ..sources.tables import load_table
+from . import oracles, oracles_ext
+
+# ---- fixed reference query sets (deterministic; documents vocabulary) ----
+Q_TOPK = ["spark", "join", "window"]
+Q_TOPK_RARE = ["dup", "scan"]
+Q_OR = ["dup", "vector"]
+Q_AND = ["spark", "query", "sort"]
+Q_VISITED = ["dup"]
+T_LO, T_HI = "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+GRID_CELL = 10.0
+K = DEFAULT_K
+
+_INDEX_BUCKETS = 16
+_INDEX_SEGMENTS = 4
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the compressed inverted index for a test sf_dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(tempfile.gettempdir(), f"tts_index_{tag}")
+    marker = os.path.join(index_dir, "manifest")
+    need = not (
+        os.path.isdir(marker)
+        and len([d for d in os.listdir(marker) if d.startswith("segment=")])
+        >= _INDEX_SEGMENTS
+    )
+    if need:
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            index_dir,
+            id_col="doc_id",
+            text_col="text",
+            analyzer="ws",
+            meta_cols=("lang", "source"),
+            n_segments=_INDEX_SEGMENTS,
+            buckets=_INDEX_BUCKETS,
+        )
+    return index_dir
+
+
+def _score_u6(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6")
+    )
+
+
+# ------------------------------ queries ----------------------------------
+
+def q_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.topk_bm25(_docs(spark, sf_dir), Q_TOPK, K)
+
+
+def q_topk_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(
+        topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
+    )
+
+
+def q_topk_bm25_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(
+        topk_bm25_index(spark, idx, Q_TOPK_RARE, K, buckets=_INDEX_BUCKETS)
+    )
+
+
+def q_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean.bool_or(_docs(spark, sf_dir), Q_OR)
+
+
+def q_bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolean.bool_and(_docs(spark, sf_dir), Q_AND)
+
+
+def q_bool_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    return boolean.bool_or_index(postings_flat(spark, idx), Q_OR)
+
+
+def q_bool_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    return boolean.bool_and_index(postings_flat(spark, idx), Q_AND)
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = tokenized(_docs(spark, sf_dir), "doc_id", "text", "ws")
+    tf = term_freqs(tok)
+    n = tok.where(F.size("tokens") > 0).select(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    all_terms = sorted(set(Q_TOPK + Q_TOPK_RARE + Q_OR + Q_AND))
+    return (
+        tf.where(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            "df",
+            F.round(idf_expr(F.col("df").cast("double"), F.col("n_docs")) * 1e6)
+            .cast("bigint")
+            .alias("idf_u6"),
+        )
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = tokenized(d, "doc_id", "text", "ws")
+    return d.join(tok, "doc_id").select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("dl"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+
+def q_time_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.where(
+        (F.col("ts") > F.lit(T_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(T_HI).cast("timestamp"))
+    ).select("event_id", "user_id", "event_type")
+
+
+def q_time_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").alias("ts_start"),
+        F.max("ts").alias("ts_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return spans.where(
+        (F.col("ts_start") <= F.lit(T_HI).cast("timestamp"))
+        & (F.col("ts_end") >= F.lit(T_LO).cast("timestamp"))
+    ).select("user_id", "n_events")
+
+
+def q_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / F.lit(GRID_CELL)).cast("bigint").alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("sum_value_c"),
+        )
+    )
+
+
+def q_resolve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = topk.topk_bm25(d, Q_TOPK, K)
+    return tk.join(d, "doc_id").select("doc_id", "score_u6", "lang", "n_chars")
+
+
+def q_anti_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return boolean.bool_or(d, Q_OR).subtract(boolean.bool_or(d, Q_VISITED))
+
+
+JACCARD_T = 0.8
+EMB_DUP_T = 0.40
+SIMHASH_HAM = 3
+ANN_QID = 0
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir), SIMHASH_HAM)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QID, K)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir), ANN_QID, K)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup(_emb(spark, sf_dir), EMB_DUP_T)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_candidates": q_dedup_minhash,
+    "dedup_jaccard_pairs": q_dedup_jaccard,
+    "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near,
+    "ann_cosine_topk": q_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf,
+    "embedding_near_dup": q_emb_near_dup,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "topk_bm25": q_topk_bm25,
+    "topk_bm25_indexed": q_topk_bm25_indexed,
+    "topk_bm25_rare": q_topk_bm25_rare,
+    "bool_or": q_bool_or,
+    "bool_and": q_bool_and,
+    "bool_or_indexed": q_bool_or_indexed,
+    "bool_and_indexed": q_bool_and_indexed,
+    "term_stats": q_term_stats,
+    "doc_stats": q_doc_stats,
+    "time_filter_contains": q_time_filter_contains,
+    "time_span_overlap": q_time_span_overlap,
+    "grid_cells": q_grid_cells,
+    "resolve_topk": q_resolve_topk,
+    "anti_visited": q_anti_visited,
+}
+
+ORACLES: dict[str, str] = {
+    "dedup_exact": oracles_ext.dedup_exact_sql(),
+    "dedup_minhash_candidates": oracles_ext.minhash_candidates_sql(),
+    "dedup_jaccard_pairs": oracles_ext.jaccard_pairs_sql(JACCARD_T),
+    "simhash": oracles_ext.simhash_sql(),
+    "simhash_near_pairs": oracles_ext.simhash_near_pairs_sql(SIMHASH_HAM),
+    "ann_cosine_topk": oracles_ext.cosine_topk_sql(ANN_QID, K),
+    "ann_ivf_topk": oracles_ext.ann_ivf_topk_sql(ANN_QID, K),
+    "embedding_near_dup": oracles_ext.embedding_near_dup_sql(EMB_DUP_T),
+    "token_count": oracles_ext.token_count_sql(),
+    "quality_score": oracles_ext.quality_score_sql(),
+    "lang_id": oracles_ext.lang_id_sql(),
+    "fingerprint": oracles_ext.fingerprint_sql(),
+    "topk_bm25": oracles.bm25_topk_sql(Q_TOPK, K),
+    "topk_bm25_indexed": oracles.bm25_topk_sql(Q_TOPK, K),
+    "topk_bm25_rare": oracles.bm25_topk_sql(Q_TOPK_RARE, K),
+    "bool_or": oracles.bool_or_sql(Q_OR),
+    "bool_and": oracles.bool_and_sql(Q_AND),
+    "bool_or_indexed": oracles.bool_or_sql(Q_OR),
+    "bool_and_indexed": oracles.bool_and_sql(Q_AND),
+    "term_stats": oracles.term_stats_sql(
+        sorted(set(Q_TOPK + Q_TOPK_RARE + Q_OR + Q_AND))
+    ),
+    "doc_stats": oracles.doc_stats_sql(),
+    "time_filter_contains": oracles.time_filter_contains_sql(T_LO, T_HI),
+    "time_span_overlap": oracles.time_span_overlap_sql(T_LO, T_HI),
+    "grid_cells": oracles.grid_cells_sql(GRID_CELL),
+    "resolve_topk": oracles.resolve_topk_sql(Q_TOPK, K),
+    "anti_visited": oracles.anti_visited_sql(Q_OR, Q_VISITED),
+}
