@@ -67,3 +67,30 @@ def topk_bm25(df: DataFrame, query_terms: list[str], k: int = DEFAULT_K,
             F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
         )
     )
+
+
+def topk_bm25_filtered(df: DataFrame, query_terms: list[str], k: int,
+                       predicate, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       analyzer: str = "ws") -> DataFrame:
+    """Top-k BM25 restricted to docs satisfying a metadata predicate.
+
+    Reference semantics: the time/metadata constraint is applied to the
+    *candidates inside the top-k loop* while scores use index-wide
+    statistics (``TrajectoryResolver.meetTimeConstrain`` called at
+    ``EdgeInvertedIndex.java:155`` — F2 in SURVEY.md §2.2). So df / N /
+    avgdl come from the FULL corpus; only the heap membership is filtered.
+    ``predicate`` is a Column over ``df``'s metadata columns.
+    """
+    tok = tokenized(df, id_col, text_col, analyzer)
+    scores = score_terms(term_freqs(tok), tok, query_terms)
+    allowed = df.where(predicate).select(F.col(id_col).alias("doc_id"))
+    return (
+        scores.join(allowed, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
+        )
+    )

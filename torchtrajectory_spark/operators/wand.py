@@ -201,3 +201,57 @@ def topk_bm25_index(
         per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def topk_bm25_index_filtered(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    k: int,
+    predicate,
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Index-backed top-k with a metadata predicate on the candidates.
+
+    F2-in-the-loop semantics (``EdgeInvertedIndex.java:155``): scores use
+    index-wide statistics; ``predicate`` (a Column over doc_stats' metadata
+    columns, e.g. ``F.col("lang").isin("en")``) restricts heap membership
+    via a semi-join *before* the global top-k, so pruning happens ahead of
+    the ``TakeOrderedAndProject`` merge. Pure DataFrame algebra over the
+    decoded query-term postings — the decode touches only the query terms'
+    partition-pruned buckets.
+    """
+    from .index import postings_flat as _flat
+    from .index import read_doc_stats
+
+    q = sorted(set(str(t) for t in query_terms))
+    meta = query_term_meta(spark, index_dir, q, buckets)
+    idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
+
+    ds = read_doc_stats(spark, index_dir)
+    allowed = ds.where(predicate).select("doc_id")
+
+    flat = _flat(spark, index_dir).where(F.col("term").isin(q))
+    idf_map = F.create_map(
+        *[x for t in q for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    contrib = flat.select(
+        "doc_id",
+        (
+            idf_map[F.col("term")]
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.lit(meta.avgdl))
+            )
+        ).alias("contrib"),
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+        .join(allowed, "doc_id", "left_semi")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

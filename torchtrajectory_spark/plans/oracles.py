@@ -68,6 +68,46 @@ LIMIT {k}
 """.strip()
 
 
+def bm25_topk_filtered_sql(terms: list[str], k: int, pred_sql: str,
+                           k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Top-k with metadata predicate on candidates, index-wide stats (F2
+    in-the-loop semantics: constraint filters the heap, not the stats)."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, CAST(round(s.score * 1e6) AS BIGINT) AS score_u6
+FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+WHERE {pred_sql}
+ORDER BY s.score DESC, s.doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bool_or_sql(terms: list[str]) -> str:
     tl = _terms_list(sorted(set(terms)))
     return f"""

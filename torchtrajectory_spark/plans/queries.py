@@ -18,10 +18,10 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_K
 from ..functions.bm25 import idf_expr
-from ..operators import boolean, dedup, similarity, textstats, topk
+from ..operators import boolean, dedup, kernels, similarity, textstats, topk
 from ..operators.index import build_index, postings_flat
 from ..operators.stats import term_freqs, tokenized
-from ..operators.wand import topk_bm25_index
+from ..operators.wand import topk_bm25_index, topk_bm25_index_filtered
 from ..sources.tables import load_table
 from . import oracles, oracles_ext
 
@@ -193,6 +193,37 @@ def q_anti_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boolean.bool_or(d, Q_OR).subtract(boolean.bool_or(d, Q_VISITED))
 
 
+# metadata-filtered top-k (F2-in-the-loop analog): lang predicate
+FILTER_LANGS = ["en", "fr"]
+FILTER_PRED_SQL = "d.lang IN ('en', 'fr')"
+
+# similarity-kernel query (LEVI measure suite analog): fixed query text
+SIM_QUERY = "spark sql window join group sort shuffle partition"
+
+
+def q_topk_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return topk.topk_bm25_filtered(
+        _docs(spark, sf_dir), Q_TOPK, K, F.col("lang").isin(FILTER_LANGS)
+    )
+
+
+def q_topk_bm25_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(
+        topk_bm25_index_filtered(
+            spark, idx, Q_TOPK, K, F.col("lang").isin(FILTER_LANGS),
+            buckets=_INDEX_BUCKETS,
+        )
+    )
+
+
+def _q_sim(measure: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return kernels.topk_similar(_docs(spark, sf_dir), SIM_QUERY, K, measure)
+
+    return q
+
+
 JACCARD_T = 0.8
 EMB_DUP_T = 0.40
 SIMHASH_HAM = 3
@@ -267,6 +298,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25": q_topk_bm25,
     "topk_bm25_indexed": q_topk_bm25_indexed,
     "topk_bm25_rare": q_topk_bm25_rare,
+    "topk_bm25_filtered": q_topk_bm25_filtered,
+    "topk_bm25_filtered_indexed": q_topk_bm25_filtered_indexed,
+    **{f"sim_{m}_topk": _q_sim(m) for m in kernels.MEASURES},
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -296,6 +330,14 @@ ORACLES: dict[str, str] = {
     "topk_bm25": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_indexed": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_rare": oracles.bm25_topk_sql(Q_TOPK_RARE, K),
+    "topk_bm25_filtered": oracles.bm25_topk_filtered_sql(
+        Q_TOPK, K, FILTER_PRED_SQL
+    ),
+    "topk_bm25_filtered_indexed": oracles.bm25_topk_filtered_sql(
+        Q_TOPK, K, FILTER_PRED_SQL
+    ),
+    # sim_*_topk: iterative DP kernels, not SQL-expressible (SURVEY.md §2.8)
+    # — driver records rows-only; exactness asserted in tests/test_kernels.py.
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
