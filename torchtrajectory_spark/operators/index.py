@@ -62,8 +62,14 @@ POSTINGS_SCHEMA = (
     "first_doc bigint, last_doc bigint, max_tf int, min_dl bigint, "
     "doc_gaps binary, tfs binary, dls binary"
 )
+# positional variant adds the Z2 payload: within-doc position deltas,
+# varint-packed per block (doc boundaries recoverable from the tfs column —
+# the analog of the reference's parallel ``*_pos.compressed`` file,
+# ``InvertedIndex.java:117``).
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", poss binary"
 
 EMIT_SCHEMA = "term string, doc_id bigint, tf int, dl bigint"
+EMIT_POS_SCHEMA = EMIT_SCHEMA + ", positions array<int>"
 
 
 def bucket_of(term: str, buckets: int) -> int:
@@ -91,8 +97,10 @@ class IndexPaths:
         return os.path.join(base, f"segment={s}")
 
 
-def _emit_fn(id_col: str, text_col: str, analyzer: str):
-    """SPIMI map phase: corpus batch -> (term, doc_id, tf, dl) rows."""
+def _emit_fn(id_col: str, text_col: str, analyzer: str,
+             with_positions: bool = False):
+    """SPIMI map phase: corpus batch -> (term, doc_id, tf, dl[, positions])
+    rows. Positions are 0-based token offsets, ascending per (doc, term)."""
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,28 +116,78 @@ def _emit_fn(id_col: str, text_col: str, analyzer: str):
                 continue
             flat = np.concatenate([np.asarray(t, dtype=object) for t in toks
                                    if t])
-            g = (
-                pd.DataFrame({"term": flat, "doc_id": doc_rep, "dl": dl_rep})
-                .groupby(["doc_id", "term"], sort=False)
-                .agg(tf=("term", "size"), dl=("dl", "first"))
-                .reset_index()
-            )
-            yield g[["term", "doc_id", "tf", "dl"]].astype(
-                {"tf": "int32", "dl": "int64"}
-            )
+            cols = {"term": flat, "doc_id": doc_rep, "dl": dl_rep}
+            if with_positions:
+                cols["pos"] = np.concatenate(
+                    [np.arange(n, dtype=np.int32) for n in lens.tolist() if n]
+                )
+            base = pd.DataFrame(cols)
+            if with_positions:
+                g = (
+                    base.groupby(["doc_id", "term"], sort=False)
+                    .agg(tf=("term", "size"), dl=("dl", "first"),
+                         positions=("pos", list))
+                    .reset_index()
+                )
+                yield g[["term", "doc_id", "tf", "dl", "positions"]].astype(
+                    {"tf": "int32", "dl": "int64"}
+                )
+            else:
+                g = (
+                    base.groupby(["doc_id", "term"], sort=False)
+                    .agg(tf=("term", "size"), dl=("dl", "first"))
+                    .reset_index()
+                )
+                yield g[["term", "doc_id", "tf", "dl"]].astype(
+                    {"tf": "int32", "dl": "int64"}
+                )
 
     return emit
 
 
-def _build_blocks(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+def encode_positions(pos_arrays: list[np.ndarray]) -> bytes:
+    """Varint stream of within-doc position deltas for a block.
+
+    Per-doc boundaries are NOT stored — they are recoverable from the tfs
+    column (position count per doc == tf), mirroring the reference's
+    parallel-file layout (``InvertedIndex.java:92-126``).
+    """
+    if not pos_arrays:
+        return b""
+    flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_arrays])
+    lens = np.fromiter((len(p) for p in pos_arrays), dtype=np.int64,
+                       count=len(pos_arrays))
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    d = np.empty_like(flat)
+    d[0] = flat[0]
+    np.subtract(flat[1:], flat[:-1], out=d[1:])
+    d[starts] = flat[starts]  # reset delta at each doc boundary
+    return codec.encode_u32s(d)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_positions: (flat_positions, doc_start_offsets)."""
+    d = codec.decode_u32s(buf)
+    lens = np.asarray(tfs, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    flat = np.cumsum(d)
+    base = flat[starts] - d[starts]
+    flat = flat - np.repeat(base, lens)
+    return flat, starts
+
+
+def _build_blocks(pdf: pd.DataFrame, block_size: int,
+                  with_positions: bool = False) -> pd.DataFrame:
     """Merge phase kernel: one (bucket, salt) group -> compressed blocks.
 
     Sorts by (term, doc_id) once, then slices per term into <=block_size
     blocks; all codec work is vectorized numpy over the group.
     """
-    out: dict[str, list] = {k: [] for k in (
-        "bucket", "term", "salt", "block_id", "n_docs", "first_doc",
-        "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls")}
+    keys = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
+            "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
+    if with_positions:
+        keys.append("poss")
+    out: dict[str, list] = {k: [] for k in keys}
     pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
     bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
@@ -137,6 +195,7 @@ def _build_blocks(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
+    poss = pdf["positions"].to_numpy() if with_positions else None
     # term boundaries
     change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
     starts = np.concatenate(([0], change))
@@ -158,13 +217,16 @@ def _build_blocks(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
             out["doc_gaps"].append(codec.encode_sorted(d))
             out["tfs"].append(codec.encode_u32s(t))
             out["dls"].append(codec.encode_u32s(lv))
+            if with_positions:
+                out["poss"].append(encode_positions(list(poss[bs:be])))
     return pd.DataFrame(out)
 
 
 def emit_postings(corpus: DataFrame, id_col: str, text_col: str,
-                  analyzer: str) -> DataFrame:
+                  analyzer: str, with_positions: bool = False) -> DataFrame:
     return corpus.select(id_col, text_col).mapInPandas(
-        _emit_fn(id_col, text_col, analyzer), schema=EMIT_SCHEMA
+        _emit_fn(id_col, text_col, analyzer, with_positions),
+        schema=EMIT_POS_SCHEMA if with_positions else EMIT_SCHEMA,
     )
 
 
@@ -178,12 +240,14 @@ def build_segment_postings(
     block_size: int = BLOCK_SIZE,
     salt_factor: int = SALT_FACTOR,
     hot_fraction: float = HOT_TERM_DF_FRACTION,
+    with_positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Compressed postings blocks for one doc segment.
 
     Returns (blocks_df, persisted_emit_df) — caller unpersists after write.
     """
-    emit = emit_postings(seg_corpus, id_col, text_col, analyzer).persist()
+    emit = emit_postings(seg_corpus, id_col, text_col, analyzer,
+                         with_positions).persist()
     n_docs = emit.select(F.countDistinct("doc_id")).first()[0] or 0
     hot_cut = max(2, int(hot_fraction * n_docs))
     hot = [
@@ -206,7 +270,8 @@ def build_segment_postings(
         salt_col.alias("salt"),
     )
     blocks = with_keys.groupBy("bucket", "salt").applyInPandas(
-        lambda pdf: _build_blocks(pdf, block_size), schema=POSTINGS_SCHEMA
+        lambda pdf: _build_blocks(pdf, block_size, with_positions),
+        schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
     )
     return blocks, emit
 
@@ -224,6 +289,7 @@ def build_index(
     block_size: int = BLOCK_SIZE,
     resume: bool = True,
     fail_after_segments: int | None = None,
+    with_positions: bool = False,
 ) -> None:
     """Full segmented, resumable index build.
 
@@ -236,6 +302,7 @@ def build_index(
         "buckets": buckets, "n_segments": n_segments,
         "block_size": block_size, "analyzer": analyzer,
         "id_col": id_col, "text_col": text_col,
+        "with_positions": with_positions,
     })
     done = _done_segments(spark, paths) if resume else set()
 
@@ -255,7 +322,8 @@ def build_index(
 
         # --- postings blocks ---
         blocks, emit = build_segment_postings(
-            spark, seg, id_col, text_col, analyzer, buckets, block_size
+            spark, seg, id_col, text_col, analyzer, buckets, block_size,
+            with_positions=with_positions,
         )
         _atomic_write(
             blocks.sortWithinPartitions("bucket", "term"),

@@ -1,0 +1,148 @@
+"""Phrase (positional) queries — the Z2 position-payload capability.
+
+The reference stores a position for every posting and compresses the
+position arrays separately from the docIDs
+(``base/invertedIndex/InvertedIndex.java:27,117`` — FastPFOR+VByte of the
+``posis`` array, loaded alongside docIDs at ``:138-148``); its LORS scorer
+consumes those positions with a positional band
+(``EdgeInvertedIndex.lors:196-233``). The full-text analog is the classic
+positional phrase query: doc matches iff the phrase terms occur at
+consecutive positions.
+
+Two physical strategies (results identical, both oracle-checked):
+
+* corpus-direct: tokens array + ``filter(sequence(...))`` — a single scan,
+  the whole predicate stays in Catalyst codegen.
+* index-backed: decode the phrase terms' positional postings (only their
+  partition-pruned buckets), per-segment numpy position-list intersection
+  inside ``applyInPandas``; segments are doc-disjoint so the union is the
+  answer.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from .index import (
+    bucket_of,
+    decode_positions,
+    read_index_config,
+    read_postings,
+)
+from .stats import tokenized
+
+
+def phrase_count(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
+                 text_col: str = "text", analyzer: str = "ws") -> DataFrame:
+    """(doc_id, n_occ) for docs containing the exact token phrase.
+
+    Pure Catalyst: count i in [1, size-n+1] where tokens[i+j] == phrase[j]
+    for all j. CASE WHEN guards the short-doc branch (sequence() would
+    otherwise run backwards for size < n).
+    """
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+    tok = tokenized(df, id_col, text_col, analyzer)
+
+    def match_at(i):
+        return reduce(
+            lambda a, b: a & b,
+            [
+                F.element_at(F.col("tokens"), i + F.lit(j)) == F.lit(t)
+                for j, t in enumerate(phrase)
+            ],
+        )
+
+    n_occ = F.when(
+        F.size("tokens") >= n,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("tokens") - F.lit(n - 1)),
+                match_at,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        tok.select("doc_id", n_occ.cast("bigint").alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )
+
+
+def _segment_phrase(pdf: pd.DataFrame, phrase: list[str]) -> pd.DataFrame:
+    """One segment's positional blocks for the phrase terms -> (doc, n_occ).
+
+    Builds per-term (sorted docs, per-doc position arrays); intersects docs
+    across terms, then narrows candidate start-positions term by term
+    (positions are within-doc token offsets).
+    """
+    term_docs: dict[str, np.ndarray] = {}
+    term_pos: dict[str, list[np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        docs_parts, pos_parts = [], []
+        for r in grp.itertuples(index=False):
+            docs = codec.decode_sorted(r.doc_gaps)
+            tfs = codec.decode_u32s(r.tfs)
+            flat, starts = decode_positions(r.poss, tfs)
+            docs_parts.append(docs)
+            splits = np.split(flat, starts[1:]) if docs.size else []
+            pos_parts.extend(splits)
+        if not docs_parts:
+            continue
+        docs = np.concatenate(docs_parts)
+        order = np.argsort(docs, kind="mergesort")
+        term_docs[term] = docs[order]
+        term_pos[term] = [pos_parts[i] for i in order.tolist()]
+
+    uniq_terms = list(dict.fromkeys(phrase))
+    if any(t not in term_docs for t in uniq_terms):
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_occ": pd.Series(dtype="int64")})
+    cand = term_docs[uniq_terms[0]]
+    for t in uniq_terms[1:]:
+        cand = cand[np.isin(cand, term_docs[t])]
+    out_docs, out_n = [], []
+    for doc in cand.tolist():
+        starts = None
+        ok = True
+        for j, t in enumerate(phrase):
+            idx = int(np.searchsorted(term_docs[t], doc))
+            pos = term_pos[t][idx]
+            starts = pos if j == 0 else starts[np.isin(starts + j, pos)]
+            if starts.size == 0:
+                ok = False
+                break
+        if ok:
+            out_docs.append(doc)
+            out_n.append(int(starts.size))
+    return pd.DataFrame({"doc_id": np.asarray(out_docs, dtype=np.int64),
+                         "n_occ": np.asarray(out_n, dtype=np.int64)})
+
+
+def phrase_count_index(spark: SparkSession, index_dir: str,
+                       phrase: list[str],
+                       buckets: int | None = None) -> DataFrame:
+    """Index-backed phrase query over a positional index."""
+    cfg = read_index_config(index_dir)
+    if not cfg.get("with_positions"):
+        raise ValueError(f"index at {index_dir} has no positions")
+    if buckets is None:
+        buckets = int(cfg["buckets"])
+    q = sorted(set(phrase))
+    bks = sorted({bucket_of(t, buckets) for t in q})
+    blocks = (
+        read_postings(spark, index_dir)
+        .where(F.col("bucket").isin(bks))
+        .where(F.col("term").isin(q))
+        .select("segment", "term", "doc_gaps", "tfs", "poss")
+    )
+    return blocks.groupBy("segment").applyInPandas(
+        lambda pdf: _segment_phrase(pdf.drop(columns=["segment"]), phrase),
+        schema="doc_id bigint, n_occ bigint",
+    )

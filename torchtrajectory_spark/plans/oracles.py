@@ -108,6 +108,32 @@ LIMIT {k}
 """.strip()
 
 
+def phrase_count_sql(phrase: list[str]) -> str:
+    """Positional phrase query: docs where the terms occur consecutively,
+    with occurrence count (Z2 position-payload analog)."""
+    n = len(phrase)
+    conds = " AND ".join(
+        f"t[i + {j}] = '" + t.replace("'", "''") + "'"
+        for j, t in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {n} THEN
+           CAST(len(list_filter(range(1, len(t) - {n - 2}),
+                                i -> {conds})) AS BIGINT)
+         ELSE 0 END AS n_occ
+  FROM toks
+)
+SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+""".strip()
+
+
 def bool_or_sql(terms: list[str]) -> str:
     tl = _terms_list(sorted(set(terms)))
     return f"""

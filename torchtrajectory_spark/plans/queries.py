@@ -18,7 +18,15 @@ from pyspark.sql import functions as F
 
 from ..config import DEFAULT_K
 from ..functions.bm25 import idf_expr
-from ..operators import boolean, dedup, kernels, similarity, textstats, topk
+from ..operators import (
+    boolean,
+    dedup,
+    kernels,
+    phrase,
+    similarity,
+    textstats,
+    topk,
+)
 from ..operators.index import build_index, postings_flat
 from ..operators.stats import term_freqs, tokenized
 from ..operators.wand import topk_bm25_index, topk_bm25_index_filtered
@@ -47,10 +55,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
-def ensure_index(spark: SparkSession, sf_dir: str) -> str:
+def ensure_index(spark: SparkSession, sf_dir: str,
+                 with_positions: bool = False) -> str:
     """Build (or reuse) the compressed inverted index for a test sf_dir."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = os.path.join(tempfile.gettempdir(), f"tts_index_{tag}")
+    prefix = "tts_posindex" if with_positions else "tts_index"
+    index_dir = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
     marker = os.path.join(index_dir, "manifest")
     need = not (
         os.path.isdir(marker)
@@ -68,6 +78,7 @@ def ensure_index(spark: SparkSession, sf_dir: str) -> str:
             meta_cols=("lang", "source"),
             n_segments=_INDEX_SEGMENTS,
             buckets=_INDEX_BUCKETS,
+            with_positions=with_positions,
         )
     return index_dir
 
@@ -200,6 +211,30 @@ FILTER_PRED_SQL = "d.lang IN ('en', 'fr')"
 # similarity-kernel query (LEVI measure suite analog): fixed query text
 SIM_QUERY = "spark sql window join group sort shuffle partition"
 
+# positional phrase queries (Z2 payload analog)
+PHRASE_2 = ["table", "hash"]
+PHRASE_3 = ["slow", "hash", "batch"]
+
+
+def q_phrase_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase.phrase_count(_docs(spark, sf_dir), PHRASE_2)
+
+
+def q_phrase_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase.phrase_count(_docs(spark, sf_dir), PHRASE_3)
+
+
+def q_phrase_bigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir, with_positions=True)
+    return phrase.phrase_count_index(spark, idx, PHRASE_2,
+                                     buckets=_INDEX_BUCKETS)
+
+
+def q_phrase_trigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_index(spark, sf_dir, with_positions=True)
+    return phrase.phrase_count_index(spark, idx, PHRASE_3,
+                                     buckets=_INDEX_BUCKETS)
+
 
 def q_topk_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.topk_bm25_filtered(
@@ -301,6 +336,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "topk_bm25_filtered_indexed": q_topk_bm25_filtered_indexed,
     **{f"sim_{m}_topk": _q_sim(m) for m in kernels.MEASURES},
+    "phrase_bigram": q_phrase_bigram,
+    "phrase_trigram": q_phrase_trigram,
+    "phrase_bigram_indexed": q_phrase_bigram_indexed,
+    "phrase_trigram_indexed": q_phrase_trigram_indexed,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -338,6 +377,10 @@ ORACLES: dict[str, str] = {
     ),
     # sim_*_topk: iterative DP kernels, not SQL-expressible (SURVEY.md §2.8)
     # — driver records rows-only; exactness asserted in tests/test_kernels.py.
+    "phrase_bigram": oracles.phrase_count_sql(PHRASE_2),
+    "phrase_trigram": oracles.phrase_count_sql(PHRASE_3),
+    "phrase_bigram_indexed": oracles.phrase_count_sql(PHRASE_2),
+    "phrase_trigram_indexed": oracles.phrase_count_sql(PHRASE_3),
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
