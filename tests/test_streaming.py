@@ -1,0 +1,141 @@
+"""Streaming index maintenance: incremental segments + windowed counts.
+
+The streamed index must be indistinguishable from a batch-built one to
+every query operator (same files, same manifest contract), and re-running
+the stream after new input arrives must add ONLY new segments (the
+exactly-once / resume property the reference's windowed rebuild lacks).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.operators.index import (
+    read_manifest,
+    postings_flat,
+)
+from torchtrajectory_spark.sources.tables import load_table
+from torchtrajectory_spark.streaming.stream_index import (
+    sliding_term_counts,
+    stream_index_build,
+)
+
+SF = "/root/testdata/sf0.001"
+DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+
+
+@pytest.fixture(scope="module")
+def chunked_input(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_in")
+    docs = load_table(spark, SF, "documents")
+    for i, cond in enumerate([F.col("doc_id") % 3 == 0,
+                              F.col("doc_id") % 3 == 1]):
+        docs.where(cond).coalesce(1).write.parquet(
+            str(root / f"chunk{i}.tmp")
+        )
+        # file-source streams list *files*; move the part file up
+        part = [f for f in os.listdir(root / f"chunk{i}.tmp")
+                if f.endswith(".parquet")][0]
+        os.rename(root / f"chunk{i}.tmp" / part, root / f"chunk{i}.parquet")
+    return str(root), docs
+
+
+def test_stream_index_incremental(spark, chunked_input, tmp_path):
+    root, docs = chunked_input
+    idx = str(tmp_path / "stream_idx")
+
+    stream_index_build(
+        spark, os.path.join(root, "*.parquet"), idx, DOCS_SCHEMA,
+        buckets=8, max_files_per_trigger=1,
+    )
+    m1 = read_manifest(spark, idx)
+    segs1 = {r["segment"] for r in m1.select("segment").collect()}
+    assert len(segs1) == 2  # one micro-batch (= segment) per input file
+
+    got = postings_flat(spark, idx)
+    exp_docs = docs.where(F.col("doc_id") % 3 != 2)
+    assert (got.select("doc_id").distinct().count()
+            == exp_docs.where(F.length("text") > 0).count())
+
+    # late-arriving chunk: rerun with same checkpoint -> only new segment
+    late = docs.where(F.col("doc_id") % 3 == 2).coalesce(1)
+    late.write.parquet(str(tmp_path / "late.tmp"))
+    part = [f for f in os.listdir(tmp_path / "late.tmp")
+            if f.endswith(".parquet")][0]
+    os.rename(str(tmp_path / "late.tmp" / part),
+              os.path.join(root, "chunk2.parquet"))
+
+    stream_index_build(
+        spark, os.path.join(root, "*.parquet"), idx, DOCS_SCHEMA,
+        buckets=8, max_files_per_trigger=1,
+    )
+    segs2 = {r["segment"] for r in
+             read_manifest(spark, idx).select("segment").collect()}
+    assert segs1 < segs2 and len(segs2) == 3
+
+    # streamed index == batch truth on term/doc/tf rows
+    from torchtrajectory_spark.operators.stats import term_freqs, tokenized
+
+    flat = postings_flat(spark, idx).select("term", "doc_id", "tf")
+    truth = term_freqs(tokenized(docs, "doc_id", "text", "ws")).select(
+        "term", "doc_id", F.col("tf").cast("bigint").alias("tf")
+    )
+    assert flat.exceptAll(truth).count() == 0
+    assert truth.exceptAll(flat).count() == 0
+
+
+def test_streamed_index_queryable(spark, chunked_input, tmp_path):
+    """A streamed index serves the same top-k as the brute-force scorer."""
+    from torchtrajectory_spark.operators.topk import topk_bm25
+    from torchtrajectory_spark.operators.wand import topk_bm25_index
+
+    root, docs = chunked_input
+    idx = str(tmp_path / "qidx")
+    stream_index_build(spark, os.path.join(root, "chunk0.*"), idx,
+                       DOCS_SCHEMA, buckets=8)
+    sub = docs.where(F.col("doc_id") % 3 == 0)
+    q = ["spark", "join", "window"]
+    got = topk_bm25_index(spark, idx, q, 10).withColumn(
+        "score_u6", F.round(F.col("score") * 1e6).cast("bigint")
+    ).select("doc_id", "score_u6")
+    exp = topk_bm25(sub, q, 10)
+    assert [r.asDict() for r in got.collect()] == [
+        r.asDict() for r in exp.collect()
+    ]
+
+
+def test_sliding_term_counts_matches_batch(spark, tmp_path):
+    """Streaming windowed counts (complete mode) == batch window agg."""
+    events = load_table(spark, SF, "events").select(
+        "ts", F.col("event_type").alias("text")
+    )
+    src = str(tmp_path / "ev")
+    events.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(src)
+    out = sliding_term_counts(stream, window="7 days", ts_col="ts")
+    q = (
+        out.writeStream.format("memory").queryName("wincounts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.table("wincounts")
+
+    exp = (
+        events.select(
+            F.window("ts", "7 days").alias("win"),
+            F.explode(F.split(F.lower("text"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("win", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"),
+                F.col("win.end").alias("win_end"), "term", "n")
+    )
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    assert got.count() > 0

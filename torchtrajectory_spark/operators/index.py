@@ -313,56 +313,78 @@ def build_index(
     for s in range(n_segments):
         if s in done:
             continue
-        t0 = time.monotonic()
         seg = corpus.where(F.col("_seg") == s).drop("_seg").persist()
-
-        # --- doc_stats (dl + sha256 invariant + metadata cols) ---
-        ds = doc_stats_df(seg, id_col, text_col, analyzer, meta_cols)
-        _atomic_write(ds, paths.seg(paths.doc_stats, s))
-
-        # --- postings blocks ---
-        blocks, emit = build_segment_postings(
-            spark, seg, id_col, text_col, analyzer, buckets, block_size,
-            with_positions=with_positions,
-        )
-        _atomic_write(
-            blocks.sortWithinPartitions("bucket", "term"),
-            paths.seg(paths.postings, s),
-        )
-        emit.unpersist()
-
-        # --- lineage + metrics manifest row (committed last = the marker) ---
-        fp_row = seg.select(
-            F.xxhash64(F.col(id_col), F.sha2(F.col(text_col), 256)).alias("h")
-        ).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("rows")).first()
-        written = spark.read.parquet(paths.seg(paths.postings, s))
-        wstats = written.agg(
-            F.count("*").alias("blocks"),
-            F.sum(
-                F.octet_length("doc_gaps") + F.octet_length("tfs")
-                + F.octet_length("dls")
-            ).alias("bytes"),
-        ).first()
-        manifest_row = pd.DataFrame(
-            [{
-                "segment": s,
-                "input_fingerprint": format((fp_row["fp"] or 0) & (2**64 - 1), "016x"),
-                "row_count": int(fp_row["rows"] or 0),
-                "block_count": int(wstats["blocks"] or 0),
-                "bytes": int(wstats["bytes"] or 0),
-                "duration_ms": int((time.monotonic() - t0) * 1000),
-                "status": "ok",
-                "attempt": 1,
-            }]
-        )
-        _atomic_write(
-            spark.createDataFrame(manifest_row),
-            os.path.join(paths.manifest, f"segment={s}"),
+        commit_segment(
+            spark, seg, s, paths, id_col, text_col, analyzer, meta_cols,
+            buckets, block_size, with_positions,
         )
         seg.unpersist()
         built += 1
         if fail_after_segments is not None and built >= fail_after_segments:
             raise RuntimeError(f"injected failure after {built} segments")
+
+
+def commit_segment(
+    spark: SparkSession,
+    seg: DataFrame,
+    s: int,
+    paths: IndexPaths,
+    id_col: str,
+    text_col: str,
+    analyzer: str,
+    meta_cols: tuple[str, ...] = (),
+    buckets: int = DEFAULT_BUCKETS,
+    block_size: int = BLOCK_SIZE,
+    with_positions: bool = False,
+) -> None:
+    """Build + atomically commit ONE doc segment (doc_stats, postings,
+    manifest-last). Shared by the batch build loop and the streaming
+    ``foreachBatch`` sink (one micro-batch == one segment)."""
+    t0 = time.monotonic()
+
+    # --- doc_stats (dl + sha256 invariant + metadata cols) ---
+    ds = doc_stats_df(seg, id_col, text_col, analyzer, meta_cols)
+    _atomic_write(ds, paths.seg(paths.doc_stats, s))
+
+    # --- postings blocks ---
+    blocks, emit = build_segment_postings(
+        spark, seg, id_col, text_col, analyzer, buckets, block_size,
+        with_positions=with_positions,
+    )
+    _atomic_write(
+        blocks.sortWithinPartitions("bucket", "term"),
+        paths.seg(paths.postings, s),
+    )
+    emit.unpersist()
+
+    # --- lineage + metrics manifest row (committed last = the marker) ---
+    fp_row = seg.select(
+        F.xxhash64(F.col(id_col), F.sha2(F.col(text_col), 256)).alias("h")
+    ).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("rows")).first()
+    written = spark.read.parquet(paths.seg(paths.postings, s))
+    wstats = written.agg(
+        F.count("*").alias("blocks"),
+        F.sum(
+            F.octet_length("doc_gaps") + F.octet_length("tfs")
+            + F.octet_length("dls")
+        ).alias("bytes"),
+    ).first()
+    manifest_row = pd.DataFrame(
+        [{
+            "segment": s,
+            "input_fingerprint": format((fp_row["fp"] or 0) & (2**64 - 1), "016x"),
+            "row_count": int(fp_row["rows"] or 0),
+            "block_count": int(wstats["blocks"] or 0),
+            "bytes": int(wstats["bytes"] or 0),
+            "duration_ms": int((time.monotonic() - t0) * 1000),
+            "status": "ok",
+            "attempt": 1,
+        }]
+    )
+    _atomic_write(
+        spark.createDataFrame(manifest_row),
+        os.path.join(paths.manifest, f"segment={s}"),
+    )
 
 
 def _write_index_config(index_dir: str, cfg: dict) -> None:
