@@ -1,0 +1,78 @@
+"""Clustering parity: Spark k-means vs a driver-side numpy reference.
+
+Same deterministic seeding (k lowest vec_ids), same iteration count, same
+empty-cluster rule -> assignments must be identical. The fixed-centroid
+assignment and histogram queries are oracle-checked in
+tests/test_queries_oracle.py; this file covers the iterative path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from torchtrajectory_spark.operators import clustering
+from torchtrajectory_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+K, ITERS = 8, 3
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    emb = load_table(spark, SF, "embeddings")
+    pdf = emb.orderBy("vec_id").select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    return emb, ids, x
+
+
+def numpy_kmeans(ids, x, k, n_iter):
+    order = np.argsort(ids)
+    cents = x[order[:k]].copy()
+    assign = np.argmin(((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    for _ in range(n_iter):
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cents[c] = x[m].mean(axis=0)
+        assign = np.argmin(((x[:, None, :] - cents[None]) ** 2).sum(-1),
+                           axis=1)
+    return assign, cents
+
+
+def test_kmeans_matches_numpy(spark, emb_np):
+    emb, ids, x = emb_np
+    assigned, cents = clustering.kmeans(emb, K, ITERS)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    exp_assign, exp_cents = numpy_kmeans(ids, x, K, ITERS)
+    exp = {int(i): int(c) for i, c in zip(ids, exp_assign)}
+    assert got == exp
+    assert np.allclose(cents, exp_cents, atol=1e-9)
+
+
+def test_cluster_metrics_consistent(spark, emb_np):
+    emb, ids, x = emb_np
+    assigned, cents = clustering.kmeans(emb, K, ITERS)
+    m = clustering.cluster_metrics(emb, assigned, cents).collect()
+    assert sum(r["n"] for r in m) == len(ids)
+    exp_assign, exp_cents = numpy_kmeans(ids, x, K, ITERS)
+    for r in m:
+        mask = exp_assign == r["cluster"]
+        exp_sum = ((x[mask] - exp_cents[r["cluster"]]) ** 2).sum()
+        assert r["sum_dist2_u6"] == pytest.approx(round(exp_sum * 1e6), abs=2)
+
+
+def test_assign_fixed_matches_kmeans_round0(spark, emb_np):
+    """Catalyst fixed-centroid assignment == Arrow-UDF assignment."""
+    emb, ids, x = emb_np
+    cents = clustering.init_centroids(emb, K)
+    catalyst = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering.assign_fixed_centroids(emb, cents.tolist()).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["cluster"]
+        for r in clustering._assign_np(emb, cents, "vec_id", "embedding").collect()
+    }
+    assert catalyst == arrow

@@ -268,3 +268,43 @@ SELECT doc_id,
        list_aggregate(list_transform(shingles, s -> md5(s)), 'min') AS fp
 FROM sh
 """.strip()
+
+
+def cluster_assign_sql(k: int) -> str:
+    """Fixed-centroid assignment (centroids = the k lowest vec_ids), squared
+    L2, ties to the lowest centroid id — X1's assignment step, one pass."""
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < {k}
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                 i -> {diff} * {diff})) AS d2
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, CAST(cid AS INT) AS cluster,
+       CAST(round(d2 * 1e6) AS BIGINT) AS dist2_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
+      FROM d)
+WHERE rn = 1
+""".strip()
+
+
+def cluster_top_terms_sql(n: int) -> str:
+    """Per-label top-n terms of the joined documents (A6/X3 histogram)."""
+    return f"""
+WITH {TOKS_CTE},
+counts AS (
+  SELECT l.label AS grp, t.term, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks) t
+  JOIN embeddings l ON t.doc_id = l.vec_id
+  GROUP BY 1, 2
+)
+SELECT grp, term, cnt, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY cnt DESC, term ASC) AS rank
+      FROM counts)
+WHERE rank <= {n}
+""".strip()

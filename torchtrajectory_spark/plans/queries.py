@@ -20,6 +20,7 @@ from ..config import DEFAULT_K
 from ..functions.bm25 import idf_expr
 from ..operators import (
     boolean,
+    clustering,
     dedup,
     kernels,
     phrase,
@@ -259,6 +260,36 @@ def _q_sim(measure: str):
     return q
 
 
+# clustering (k-paths module analog)
+KMEANS_K = 8
+KMEANS_ITERS = 3
+TOP_TERMS_N = 5
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = clustering.init_centroids(emb, KMEANS_K)
+    return clustering.assign_fixed_centroids(emb, cents.tolist())
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _ = clustering.kmeans(_emb(spark, sf_dir), KMEANS_K,
+                                    KMEANS_ITERS)
+    return assigned
+
+
+def q_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    assigned, cents = clustering.kmeans(emb, KMEANS_K, KMEANS_ITERS)
+    return clustering.cluster_metrics(emb, assigned, cents)
+
+
+def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.top_terms_per_group(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), TOP_TERMS_N
+    )
+
+
 JACCARD_T = 0.8
 EMB_DUP_T = 0.40
 SIMHASH_HAM = 3
@@ -340,6 +371,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_trigram": q_phrase_trigram,
     "phrase_bigram_indexed": q_phrase_bigram_indexed,
     "phrase_trigram_indexed": q_phrase_trigram_indexed,
+    "cluster_assign": q_cluster_assign,
+    "cluster_kmeans": q_cluster_kmeans,
+    "cluster_metrics": q_cluster_metrics,
+    "cluster_top_terms": q_cluster_top_terms,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -381,6 +416,10 @@ ORACLES: dict[str, str] = {
     "phrase_trigram": oracles.phrase_count_sql(PHRASE_3),
     "phrase_bigram_indexed": oracles.phrase_count_sql(PHRASE_2),
     "phrase_trigram_indexed": oracles.phrase_count_sql(PHRASE_3),
+    "cluster_assign": oracles_ext.cluster_assign_sql(KMEANS_K),
+    # cluster_kmeans / cluster_metrics: iterative (driver-loop) algorithm,
+    # not SQL-expressible — rows-only; numpy parity in tests/test_clustering.
+    "cluster_top_terms": oracles_ext.cluster_top_terms_sql(TOP_TERMS_N),
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
