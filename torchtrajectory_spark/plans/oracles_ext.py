@@ -308,3 +308,33 @@ FROM (SELECT *, row_number() OVER (PARTITION BY grp
       FROM counts)
 WHERE rank <= {n}
 """.strip()
+
+
+def media_features_sql() -> str:
+    """Media decode-stub features. payload = UTF-8 bytes of text, metadata a
+    pure function of the id (operators/multimodal.py media_table)."""
+    return """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       CAST(16 + doc_id % 240 AS INT) AS width,
+       CAST(16 + (doc_id * 7) % 240 AS INT) AS height,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+""".strip()
+
+
+def frame_sample_sql(frame_bytes: int, stride: int) -> str:
+    """Frame sampling oracle. Valid because this corpus is pure ASCII
+    (octet_length == length for every row), so VARCHAR substr == byte
+    slice and sha256(varchar) == sha256 of those bytes."""
+    return f"""
+SELECT doc_id AS media_id, i AS frame_idx,
+       sha256(substr(text, CAST(1 + i * {frame_bytes} AS BIGINT),
+                     {frame_bytes})) AS frame_sha256
+FROM documents,
+     unnest(range(0,
+                  CAST(ceil(octet_length(encode(text)) / {frame_bytes}.0)
+                       AS BIGINT),
+                  {stride})) AS u(i)
+""".strip()

@@ -23,6 +23,7 @@ from ..operators import (
     clustering,
     dedup,
     kernels,
+    multimodal,
     phrase,
     similarity,
     textstats,
@@ -260,6 +261,18 @@ def _q_sim(measure: str):
     return q
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_features(
+        multimodal.media_table(_docs(spark, sf_dir))
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(
+        multimodal.media_table(_docs(spark, sf_dir))
+    )
+
+
 # clustering (k-paths module analog)
 KMEANS_K = 8
 KMEANS_ITERS = 3
@@ -375,6 +388,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -420,6 +435,10 @@ ORACLES: dict[str, str] = {
     # cluster_kmeans / cluster_metrics: iterative (driver-loop) algorithm,
     # not SQL-expressible — rows-only; numpy parity in tests/test_clustering.
     "cluster_top_terms": oracles_ext.cluster_top_terms_sql(TOP_TERMS_N),
+    "media_features": oracles_ext.media_features_sql(),
+    "media_frame_sample": oracles_ext.frame_sample_sql(
+        multimodal.FRAME_BYTES, multimodal.FRAME_STRIDE
+    ),
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
