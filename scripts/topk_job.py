@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""spark-submit job: top-k BM25 queries against a built index.
+
+    spark-submit --master local[8] \
+        --py-files dist/torchtrajectory_spark.zip \
+        scripts/topk_job.py --index /path/to/index \
+        --query "def return" --query "class import" -k 10
+
+Prints one JSON line per query: terms, latency, and the (doc_id, score)
+top-k — the reference query-set harness shape used for p50/p99 latency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", action="append", required=True,
+                   help="space-separated terms; repeatable")
+    p.add_argument("-k", type=int, default=10)
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from torchtrajectory_spark.operators.wand import (
+        open_index_meta,
+        topk_bm25_index,
+    )
+
+    spark = SparkSession.builder.appName("tts-topk").getOrCreate()
+    meta = open_index_meta(spark, args.index)
+    for q in args.query:
+        terms = q.split()
+        t0 = time.monotonic()
+        rows = topk_bm25_index(spark, args.index, terms, args.k,
+                               meta=meta).collect()
+        print(json.dumps({
+            "query": terms,
+            "latency_sec": round(time.monotonic() - t0, 4),
+            "topk": [[r["doc_id"], round(r["score"], 9)] for r in rows],
+        }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
