@@ -446,10 +446,29 @@ def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def postings_flat(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Decode blocks back to (term, doc_id, tf, dl) rows — index-backed
-    boolean queries and invariant tests build on this."""
+def postings_flat(spark: SparkSession, index_dir: str,
+                  docs_only: bool = False) -> DataFrame:
+    """Decode blocks back to (term, doc_id[, tf, dl]) rows — index-backed
+    boolean queries and invariant tests build on this.
+
+    ``docs_only=True`` skips the tf/dl payload decode AND prunes those
+    columns out of the parquet scan — boolean AND/OR only need docIDs
+    (the reference's ``getKeys`` vs ``getPairs`` split,
+    ``InvertedIndex.java:138-161``).
+    """
     blocks = read_postings(spark, index_dir)
+
+    def explode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [
+                pd.DataFrame({
+                    "term": r.term,
+                    "doc_id": codec.decode_sorted(r.doc_gaps),
+                })
+                for r in pdf.itertuples(index=False)
+            ]
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     def explode_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -465,6 +484,10 @@ def postings_flat(spark: SparkSession, index_dir: str) -> DataFrame:
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
+    if docs_only:
+        return blocks.select("term", "doc_gaps").mapInPandas(
+            explode_docs, schema="term string, doc_id bigint"
+        )
     return blocks.select("term", "doc_gaps", "tfs", "dls").mapInPandas(
         explode_blocks, schema="term string, doc_id bigint, tf bigint, dl bigint"
     )

@@ -186,7 +186,13 @@ def topk_bm25_index(
     q = sorted(set(str(t) for t in query_terms))
     if meta is None:
         meta = query_term_meta(spark, index_dir, q, buckets)
-    blocks = _q_blocks(spark, index_dir, q, buckets)
+    # column-prune before the Arrow transfer: the scorer needs only the
+    # block payloads + bound metadata, not salt/block_id/first/last/bucket
+    # (ReadSchema shrinks accordingly — checked in EXPLAIN.md)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "n_docs", "max_tf", "min_dl",
+        "doc_gaps", "tfs", "dls",
+    )
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk(
