@@ -1,0 +1,88 @@
+"""Geo scalar functions + trajectory hop aggregation.
+
+haversine / offsets vs an independent Python implementation; user_hops is
+additionally oracle-checked in test_queries_oracle.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.functions import geo
+
+
+def py_haversine(lat1, lng1, lat2, lng2):
+    r = 6371000.0
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1)
+    dlng = math.radians(lng2 - lng1)
+    a = (math.sin(dlat / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dlng / 2) ** 2)
+    return 2 * r * math.asin(math.sqrt(a))
+
+
+CASES = [
+    (0.0, 0.0, 0.0, 1.0),
+    (41.15, -8.61, 41.16, -8.60),   # Porto-ish (reference corpus city)
+    (-33.87, 151.21, 48.85, 2.35),
+    (10.0, 179.9, 10.0, -179.9),
+    (52.52, 13.40, 52.52, 13.40),
+]
+
+
+def test_haversine_matches_python(spark):
+    df = spark.createDataFrame(CASES, "lat1 double, lng1 double, lat2 double, lng2 double")
+    got = df.select(
+        geo.haversine_m(F.col("lat1"), F.col("lng1"),
+                        F.col("lat2"), F.col("lng2")).alias("d")
+    ).collect()
+    for row, case in zip(got, CASES):
+        assert row["d"] == pytest.approx(py_haversine(*case), rel=1e-12)
+
+
+def test_offsets_roundtrip(spark):
+    df = spark.createDataFrame([(41.15, -8.61)], "lat double, lng double")
+    moved = df.select(
+        geo.increase_lat(F.col("lat"), F.lit(1000.0)).alias("lat2"),
+        geo.increase_lng(F.col("lat"), F.col("lng"), F.lit(1000.0)).alias("lng2"),
+        "lat", "lng",
+    ).first()
+    # moving 1000 m north/east must measure ~1000 m by haversine
+    d_north = py_haversine(moved["lat"], moved["lng"], moved["lat2"], moved["lng"])
+    d_east = py_haversine(moved["lat"], moved["lng"], moved["lat"], moved["lng2"])
+    assert d_north == pytest.approx(1000.0, rel=1e-3)
+    assert d_east == pytest.approx(1000.0, rel=1e-3)
+
+
+def test_tile_id_grid(spark):
+    df = spark.createDataFrame(
+        [(0.05, 0.05), (0.15, 0.05), (0.05, 0.15), (-5.0, -5.0)],
+        "lat double, lng double",
+    )
+    got = [
+        r["t"] for r in df.select(
+            geo.tile_id(F.col("lat"), F.col("lng"), 0.0, 0.0, 0.1, 100).alias("t")
+        ).collect()
+    ]
+    assert got == [0, 100, 1, 0]  # row-major; clamped at 0 like the reference
+
+
+def test_user_hops_partition_invariant(spark):
+    """Integer-per-hop rounding makes the sum independent of partitioning."""
+    from torchtrajectory_spark.operators import trajectory
+    from torchtrajectory_spark.sources.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = sorted(
+        r.asDict().items().__str__()
+        for r in trajectory.user_hops(trajectory.synth_points(e)).collect()
+    )
+    b = sorted(
+        r.asDict().items().__str__()
+        for r in trajectory.user_hops(
+            trajectory.synth_points(e.repartition(17))).collect()
+    )
+    assert a == b

@@ -66,3 +66,15 @@ def tokens_col(col: Column, analyzer: str = "ws") -> Column:
     if analyzer == "code_jvm":
         return tokens_code_jvm(col)
     raise ValueError(f"unknown analyzer {analyzer!r}")
+
+
+def tokens_col_jvm(col: Column, analyzer: str = "ws") -> Column:
+    """JVM-only variant of every analyzer (no Python worker round-trip) —
+    used where only token COUNTS are needed (doc_stats dl), keeping that
+    scan inside whole-stage codegen. Parity with the Python analyzers is
+    asserted in tests/test_tokenizer.py."""
+    if analyzer == "ws":
+        return tokens_ws(col)
+    if analyzer in ("code", "code_jvm"):
+        return tokens_code_jvm(col)
+    raise ValueError(f"unknown analyzer {analyzer!r}")

@@ -55,7 +55,6 @@ from ..config import (
 )
 from ..functions import codec
 from ..functions.tokenizer import tokenize_py
-from .stats import doc_stats as doc_stats_df
 
 POSTINGS_SCHEMA = (
     "bucket int, term string, salt int, block_id int, n_docs int, "
@@ -90,6 +89,10 @@ class IndexPaths:
         return os.path.join(self.root, "postings")
 
     @property
+    def terms(self) -> str:
+        return os.path.join(self.root, "terms")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
 
@@ -97,50 +100,60 @@ class IndexPaths:
         return os.path.join(base, f"segment={s}")
 
 
+# docs per pandas slice inside the emit UDF: pandas' object-key groupby
+# falls off a cliff above ~2.5k docs (~300k posting rows) per frame
+# (measured 7x on this corpus), so the emit re-chunks its input batches
+# instead of trusting the partitioning / Arrow batch size to be small.
+EMIT_CHUNK_DOCS = 2000
+
+
 def _emit_fn(id_col: str, text_col: str, analyzer: str,
              with_positions: bool = False):
     """SPIMI map phase: corpus batch -> (term, doc_id, tf, dl[, positions])
     rows. Positions are 0-based token offsets, ascending per (doc, term)."""
 
+    def emit_chunk(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        toks = [tokenize_py(t or "", analyzer) for t in pdf[text_col]]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
+                           count=len(toks))
+        ids = pdf[id_col].to_numpy()
+        doc_rep = np.repeat(ids, lens)
+        dl_rep = np.repeat(lens, lens)
+        if doc_rep.size == 0:
+            return None
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks
+                               if t])
+        cols = {"term": flat, "doc_id": doc_rep, "dl": dl_rep}
+        if with_positions:
+            cols["pos"] = np.concatenate(
+                [np.arange(n, dtype=np.int32) for n in lens.tolist() if n]
+            )
+        base = pd.DataFrame(cols)
+        if with_positions:
+            g = (
+                base.groupby(["doc_id", "term"], sort=False)
+                .agg(tf=("term", "size"), dl=("dl", "first"),
+                     positions=("pos", list))
+                .reset_index()
+            )
+            return g[["term", "doc_id", "tf", "dl", "positions"]].astype(
+                {"tf": "int32", "dl": "int64"}
+            )
+        g = (
+            base.groupby(["doc_id", "term"], sort=False)
+            .agg(tf=("term", "size"), dl=("dl", "first"))
+            .reset_index()
+        )
+        return g[["term", "doc_id", "tf", "dl"]].astype(
+            {"tf": "int32", "dl": "int64"}
+        )
+
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            toks = [tokenize_py(t or "", analyzer) for t in pdf[text_col]]
-            lens = np.fromiter((len(t) for t in toks), dtype=np.int64,
-                               count=len(toks))
-            ids = pdf[id_col].to_numpy()
-            doc_rep = np.repeat(ids, lens)
-            dl_rep = np.repeat(lens, lens)
-            if doc_rep.size == 0:
-                continue
-            flat = np.concatenate([np.asarray(t, dtype=object) for t in toks
-                                   if t])
-            cols = {"term": flat, "doc_id": doc_rep, "dl": dl_rep}
-            if with_positions:
-                cols["pos"] = np.concatenate(
-                    [np.arange(n, dtype=np.int32) for n in lens.tolist() if n]
-                )
-            base = pd.DataFrame(cols)
-            if with_positions:
-                g = (
-                    base.groupby(["doc_id", "term"], sort=False)
-                    .agg(tf=("term", "size"), dl=("dl", "first"),
-                         positions=("pos", list))
-                    .reset_index()
-                )
-                yield g[["term", "doc_id", "tf", "dl", "positions"]].astype(
-                    {"tf": "int32", "dl": "int64"}
-                )
-            else:
-                g = (
-                    base.groupby(["doc_id", "term"], sort=False)
-                    .agg(tf=("term", "size"), dl=("dl", "first"))
-                    .reset_index()
-                )
-                yield g[["term", "doc_id", "tf", "dl"]].astype(
-                    {"tf": "int32", "dl": "int64"}
-                )
+        for full in batches:
+            for s in range(0, len(full), EMIT_CHUNK_DOCS):
+                g = emit_chunk(full.iloc[s:s + EMIT_CHUNK_DOCS])
+                if g is not None:
+                    yield g
 
     return emit
 
@@ -177,31 +190,39 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarra
 
 
 def _build_blocks(pdf: pd.DataFrame, block_size: int,
-                  with_positions: bool = False) -> pd.DataFrame:
-    """Merge phase kernel: one (bucket, salt) group -> compressed blocks.
+                  with_positions: bool = False,
+                  presorted: bool = False) -> pd.DataFrame:
+    """Posting rows (term, doc_id, tf, dl, bucket, salt[, positions]) ->
+    compressed <=block_size blocks.
 
-    Sorts by (term, doc_id) once, then slices per term into <=block_size
-    blocks; all codec work is vectorized numpy over the group.
+    Sorts by (term, salt, doc_id) once (the frame may span many buckets /
+    salts — the SPIMI map path), then slices per (term, salt) run; all
+    codec work is vectorized numpy.
     """
     keys = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
             "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
     if with_positions:
         keys.append("poss")
     out: dict[str, list] = {k: [] for k in keys}
-    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-    bucket = int(pdf["bucket"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
+    if not presorted:
+        pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
     terms = pdf["term"].to_numpy()
+    salts = pdf["salt"].to_numpy(dtype=np.int64)
+    buckets_arr = pdf["bucket"].to_numpy(dtype=np.int64)
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
     poss = pdf["positions"].to_numpy() if with_positions else None
-    # term boundaries
-    change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+    # (term, salt) run boundaries
+    change = np.flatnonzero(
+        (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
+    ) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
     for s, e in zip(starts.tolist(), ends.tolist()):
         term = terms[s]
+        bucket = int(buckets_arr[s])
+        salt = int(salts[s])
         for bid, bs in enumerate(range(s, e, block_size)):
             be = min(bs + block_size, e)
             d, t, lv = docs[bs:be], tfs[bs:be], dls[bs:be]
@@ -242,38 +263,152 @@ def build_segment_postings(
     hot_fraction: float = HOT_TERM_DF_FRACTION,
     with_positions: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Compressed postings blocks for one doc segment.
+    """Compressed postings blocks for one doc segment — true SPIMI:
 
-    Returns (blocks_df, persisted_emit_df) — caller unpersists after write.
+    1. **hot-term probe**: one pass over a seeded 10% doc sample; terms
+       whose sampled df exceeds the threshold get salted (the sampled hot
+       set is sound because salting is a performance hint; the seed keeps
+       the final layout deterministic for resume byte-identity).
+    2. **map**: each corpus partition tokenizes its docs and encodes its
+       own docID-sorted mini-blocks (delta+varint) — the in-memory SPIMI
+       run, bounded by partition size.
+    3. **the ONE shuffle** moves *compressed bytes* keyed by
+       ``(bucket=crc32(term)%B, salt)`` — ~2 orders of magnitude fewer
+       rows than shuffling raw (term, doc, tf) postings.
+    4. **reduce**: per term, mini-blocks are decoded, merged docID-sorted,
+       and re-cut into canonical <=block_size blocks (deterministic
+       regardless of shuffle arrival order).
     """
-    emit = emit_postings(seg_corpus, id_col, text_col, analyzer,
-                         with_positions).persist()
-    n_docs = emit.select(F.countDistinct("doc_id")).first()[0] or 0
-    hot_cut = max(2, int(hot_fraction * n_docs))
-    hot = [
-        r["term"]
-        for r in emit.groupBy("term").count()
-        .where(F.col("count") >= hot_cut).select("term").collect()
-    ]
-    salt_col = (
-        F.when(
-            F.col("term").isin(hot),
-            F.pmod(F.xxhash64("doc_id"), F.lit(salt_factor)).cast("int"),
-        ).otherwise(F.lit(0))
-        if hot
-        else F.lit(0).cast("int")
+    sample_frac = 0.1
+    hot = _sampled_hot_terms(
+        seg_corpus, id_col, text_col, analyzer, sample_frac, hot_fraction
     )
-    with_keys = emit.select(
-        "*",
-        F.pmod(F.crc32(F.col("term").cast("binary")), F.lit(buckets))
-        .cast("int").alias("bucket"),
-        salt_col.alias("salt"),
-    )
-    blocks = with_keys.groupBy("bucket", "salt").applyInPandas(
-        lambda pdf: _build_blocks(pdf, block_size, with_positions),
+    minis = seg_corpus.select(id_col, text_col).mapInPandas(
+        _spimi_map_fn(id_col, text_col, analyzer, buckets, block_size,
+                      set(hot), salt_factor, with_positions),
         schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
     )
-    return blocks, emit
+    blocks = minis.groupBy("bucket", "salt").applyInPandas(
+        lambda pdf: _merge_minis(pdf, block_size, with_positions),
+        schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
+    )
+    return blocks
+
+
+def _sampled_hot_terms(seg_corpus: DataFrame, id_col: str, text_col: str,
+                       analyzer: str, sample_frac: float,
+                       hot_fraction: float) -> list[str]:
+    """Hot (stopword-like) terms from one pass over a seeded doc sample.
+
+    The emit carries a sentinel (term NULL, tf = docs-in-chunk) row per
+    chunk so the sampled doc count comes out of the same aggregation —
+    no separate corpus count. Only terms repeated in the sample are
+    aggregated driver-side.
+    """
+    sample = seg_corpus.sample(False, sample_frac, seed=42)
+
+    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emit_chunk = _emit_fn(id_col, text_col, analyzer)
+        for g in emit_chunk(batches):
+            n_docs = g["doc_id"].nunique()
+            tc = g.groupby("term", sort=False).size()
+            tc = tc[tc >= 2]
+            yield pd.DataFrame({
+                "term": list(tc.index) + [None],
+                "cnt": list(tc.to_numpy()) + [n_docs],
+            })
+
+    rows = (
+        sample.select(id_col, text_col)
+        .mapInPandas(count_fn, schema="term string, cnt long")
+        .groupBy("term").agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    n_docs = sum(r["cnt"] for r in rows if r["term"] is None)
+    cut = max(2, int(hot_fraction * n_docs * 0.5))
+    return [r["term"] for r in rows
+            if r["term"] is not None and r["cnt"] >= cut]
+
+
+def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
+                  block_size: int, hot: set, salt_factor: int,
+                  with_positions: bool):
+    """Map task: whole input partition -> encoded mini-blocks.
+
+    Accumulates the partition's (term, doc, tf, dl[, pos]) postings via the
+    chunked emit, then sorts once and encodes per-term mini-blocks. Salt
+    for hot terms = xxhash-free ``crc32(term||first_doc) % salt_factor`` —
+    deterministic and spreads a hot term's minis over salt groups.
+    """
+    emit_chunk = _emit_fn(id_col, text_col, analyzer, with_positions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames = list(emit_chunk(batches))
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        bmap = {t: zlib.crc32(t.encode("utf-8")) % buckets
+                for t in pdf["term"].unique()}
+        pdf["bucket"] = pdf["term"].map(bmap).astype("int32")
+        if hot:
+            pdf["salt"] = np.where(
+                pdf["term"].isin(hot),
+                pdf["doc_id"].to_numpy() % salt_factor,
+                0,
+            ).astype("int32")
+        else:
+            pdf["salt"] = np.int32(0)
+        yield _build_blocks(pdf, block_size, with_positions)
+
+    return run
+
+
+def _merge_minis(pdf: pd.DataFrame, block_size: int,
+                 with_positions: bool) -> pd.DataFrame:
+    """Reduce task: one (bucket, salt) group of mini-blocks -> canonical
+    blocks. Per term: decode all minis, merge docID-sorted, re-encode.
+    Deterministic for any shuffle arrival order (docIDs are unique per
+    term within a segment, so the sort is a total order)."""
+    keys = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
+            "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
+    if with_positions:
+        keys.append("poss")
+    out: dict[str, list] = {k: [] for k in keys}
+    bucket = int(pdf["bucket"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    for term, grp in pdf.groupby("term", sort=True):
+        docs = np.concatenate([codec.decode_sorted(b) for b in grp["doc_gaps"]])
+        tfs = np.concatenate([codec.decode_u32s(b) for b in grp["tfs"]])
+        dls = np.concatenate([codec.decode_u32s(b) for b in grp["dls"]])
+        if with_positions:
+            pos_lists: list[np.ndarray] = []
+            for r in grp.itertuples(index=False):
+                t = codec.decode_u32s(r.tfs)
+                flat, starts = decode_positions(r.poss, t)
+                pos_lists.extend(
+                    np.split(flat, starts[1:]) if t.size else [])
+        order = np.argsort(docs, kind="mergesort")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        if with_positions:
+            pos_lists = [pos_lists[i] for i in order.tolist()]
+        for bid, bs in enumerate(range(0, docs.size, block_size)):
+            be = min(bs + block_size, docs.size)
+            d, t, lv = docs[bs:be], tfs[bs:be], dls[bs:be]
+            out["bucket"].append(bucket)
+            out["term"].append(term)
+            out["salt"].append(salt)
+            out["block_id"].append(bid)
+            out["n_docs"].append(be - bs)
+            out["first_doc"].append(int(d[0]))
+            out["last_doc"].append(int(d[-1]))
+            out["max_tf"].append(int(t.max()))
+            out["min_dl"].append(int(lv.min()))
+            out["doc_gaps"].append(codec.encode_sorted(d))
+            out["tfs"].append(codec.encode_u32s(t))
+            out["dls"].append(codec.encode_u32s(lv))
+            if with_positions:
+                out["poss"].append(encode_positions(pos_lists[bs:be]))
+    return pd.DataFrame(out)
 
 
 def build_index(
@@ -306,22 +441,36 @@ def build_index(
     })
     done = _done_segments(spark, paths) if resume else set()
 
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int")
-    corpus = corpus.withColumn("_seg", shard)
+    # NOTE deliberately no .persist() of the per-segment corpus: Spark's
+    # columnar cache build costs more than the 2 extra re-scans it saves
+    # and anti-scales with cores (measured; BASELINE.md scaling notes).
+    # Inputs are parquet/synthetic — cheap to re-scan in parallel.
+    if n_segments > 1:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int")
+        corpus = corpus.withColumn("_seg", shard)
 
-    built = 0
-    for s in range(n_segments):
-        if s in done:
-            continue
-        seg = corpus.where(F.col("_seg") == s).drop("_seg").persist()
-        commit_segment(
-            spark, seg, s, paths, id_col, text_col, analyzer, meta_cols,
-            buckets, block_size, with_positions,
-        )
-        seg.unpersist()
-        built += 1
-        if fail_after_segments is not None and built >= fail_after_segments:
-            raise RuntimeError(f"injected failure after {built} segments")
+    # AQE's partition coalescing would collapse the (tiny, byte-sized)
+    # mini-block merge shuffle onto one task and serialize the reduce —
+    # off for the duration of the build, restored after.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev_coalesce = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        built = 0
+        for s in range(n_segments):
+            if s in done:
+                continue
+            seg = (corpus.where(F.col("_seg") == s).drop("_seg")
+                   if n_segments > 1 else corpus)
+            commit_segment(
+                spark, seg, s, paths, id_col, text_col, analyzer, meta_cols,
+                buckets, block_size, with_positions,
+            )
+            built += 1
+            if fail_after_segments is not None and built >= fail_after_segments:
+                raise RuntimeError(f"injected failure after {built} segments")
+    finally:
+        spark.conf.set(coalesce_key, prev_coalesce)
 
 
 def commit_segment(
@@ -337,45 +486,105 @@ def commit_segment(
     block_size: int = BLOCK_SIZE,
     with_positions: bool = False,
 ) -> None:
-    """Build + atomically commit ONE doc segment (doc_stats, postings,
+    """Build + atomically commit ONE doc segment (postings, doc_stats,
     manifest-last). Shared by the batch build loop and the streaming
-    ``foreachBatch`` sink (one micro-batch == one segment)."""
+    ``foreachBatch`` sink (one micro-batch == one segment).
+
+    Exactly ONE full Python tokenize pass per segment (emit -> shuffle ->
+    encode); doc_stats is a separate JVM-only scan (sha256 + token count
+    via the codegen'd analyzer + metadata — no Arrow round-trip), and the
+    manifest fingerprint is derived from the written doc_stats rather than
+    another corpus pass."""
+    from pyspark.sql import Observation
+
     t0 = time.monotonic()
 
-    # --- doc_stats (dl + sha256 invariant + metadata cols) ---
-    ds = doc_stats_df(seg, id_col, text_col, analyzer, meta_cols)
-    _atomic_write(ds, paths.seg(paths.doc_stats, s))
-
-    # --- postings blocks ---
-    blocks, emit = build_segment_postings(
+    # --- postings blocks (the tokenize pass) ---
+    blocks = build_segment_postings(
         spark, seg, id_col, text_col, analyzer, buckets, block_size,
         with_positions=with_positions,
     )
+    wobs = Observation(f"blocks_{s}")
     _atomic_write(
-        blocks.sortWithinPartitions("bucket", "term"),
+        blocks.sortWithinPartitions("bucket", "term").observe(
+            wobs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum(
+                F.octet_length("doc_gaps") + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+        ),
         paths.seg(paths.postings, s),
     )
-    emit.unpersist()
 
-    # --- lineage + metrics manifest row (committed last = the marker) ---
-    fp_row = seg.select(
-        F.xxhash64(F.col(id_col), F.sha2(F.col(text_col), 256)).alias("h")
-    ).agg(F.expr("bit_xor(h)").alias("fp"), F.count("*").alias("rows")).first()
-    written = spark.read.parquet(paths.seg(paths.postings, s))
-    wstats = written.agg(
-        F.count("*").alias("blocks"),
-        F.sum(
-            F.octet_length("doc_gaps") + F.octet_length("tfs")
-            + F.octet_length("dls")
-        ).alias("bytes"),
-    ).first()
+    # --- doc_stats: one Arrow pass (dl + sha256 invariant + metadata).
+    # JVM regexp_extract_all costs ~3x the Python tokenizer for the code
+    # analyzer (measured), so dl and sha256 are computed batch-at-a-time
+    # in the same chunked UDF style as the emit.
+    import hashlib
+
+    meta_fields = ", ".join(
+        f"{c} {dict(seg.dtypes)[c]}" for c in meta_cols
+    )
+    ds_schema = "doc_id bigint, dl bigint, content_sha256 string" + (
+        ", " + meta_fields if meta_cols else ""
+    )
+
+    def doc_stats_fn(batches):
+        for full in batches:
+            for cs in range(0, len(full), EMIT_CHUNK_DOCS):
+                pdf = full.iloc[cs:cs + EMIT_CHUNK_DOCS]
+                texts = pdf[text_col]
+                out = pd.DataFrame({
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "dl": np.fromiter(
+                        (len(tokenize_py(t or "", analyzer)) for t in texts),
+                        dtype=np.int64, count=len(pdf),
+                    ),
+                    "content_sha256": [
+                        hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                        for t in texts
+                    ],
+                })
+                for c in meta_cols:
+                    out[c] = pdf[c].to_numpy()
+                yield out
+
+    dobs = Observation(f"ds_{s}")
+    ds = (
+        seg.select(id_col, text_col, *meta_cols)
+        .mapInPandas(doc_stats_fn, schema=ds_schema)
+        .withColumn("_h", F.xxhash64(F.col("doc_id"), F.col("content_sha256")))
+        .observe(dobs, F.expr("bit_xor(_h)").alias("fp"),
+                 F.count(F.lit(1)).alias("rows"),
+                 F.sum("dl").alias("sum_dl"))
+        .drop("_h")
+    )
+    _atomic_write(ds, paths.seg(paths.doc_stats, s))
+
+    # --- terms dictionary (precomputed df per term — the analog of the
+    # reference's precomputed weight cache, SURVEY.md §4.1): derived from
+    # the written blocks' metadata columns only (no payload decode) ---
+    terms_df = (
+        spark.read.parquet(paths.seg(paths.postings, s))
+        .groupBy("bucket", "term")
+        .agg(F.sum("n_docs").alias("df"))
+    )
+    _atomic_write(terms_df.sortWithinPartitions("bucket", "term"),
+                  paths.seg(paths.terms, s))
+
+    # --- lineage + metrics manifest row (committed last = the marker);
+    # fingerprint/row/byte metrics ride the two writes via Observation —
+    # no read-back jobs ---
+    dsm, wm = dobs.get, wobs.get
     manifest_row = pd.DataFrame(
         [{
             "segment": s,
-            "input_fingerprint": format((fp_row["fp"] or 0) & (2**64 - 1), "016x"),
-            "row_count": int(fp_row["rows"] or 0),
-            "block_count": int(wstats["blocks"] or 0),
-            "bytes": int(wstats["bytes"] or 0),
+            "input_fingerprint": format((dsm["fp"] or 0) & (2**64 - 1), "016x"),
+            "row_count": int(dsm["rows"] or 0),
+            "sum_dl": int(dsm["sum_dl"] or 0),
+            "block_count": int(wm["blocks"] or 0),
+            "bytes": int(wm["bytes"] or 0),
             "duration_ms": int((time.monotonic() - t0) * 1000),
             "status": "ok",
             "attempt": 1,
@@ -436,6 +645,15 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     p = IndexPaths(index_dir)
     return spark.read.option("basePath", p.postings).parquet(
         os.path.join(p.postings, "segment=*")
+    )
+
+
+def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(bucket, term, df) dictionary — per-segment df partials; global df
+    per term = sum over segments."""
+    p = IndexPaths(index_dir)
+    return spark.read.option("basePath", p.terms).parquet(
+        os.path.join(p.terms, "segment=*")
     )
 
 

@@ -159,6 +159,36 @@ KERNELS = {
 }
 
 
+def ebd_topk(df: DataFrame, query_terms: list[str], k: int,
+             id_col: str = "doc_id", text_col: str = "text",
+             analyzer: str = "ws") -> DataFrame:
+    """EBD intersection-based distance, pure Catalyst (K9 analog).
+
+    The reference's clustering distance (``TrajectoryMtree.java:21-27``
+    wires ``DistanceFunctions.EBD``) is set-overlap based; here:
+    ``1 - |distinct(tokens) ∩ q| / max(|distinct(tokens)|, |q|)`` via
+    ``array_intersect`` — fully codegen'd, SQL-oracle-checkable (exact
+    rational arithmetic before one float division). Returns
+    (doc_id, dist_u6) ordered (dist ASC, doc_id ASC) LIMIT k.
+    """
+    from ..operators.stats import tokenized
+
+    q = sorted(set(str(t) for t in query_terms))
+    qa = F.array(*[F.lit(t) for t in q])
+    tok = tokenized(df, id_col, text_col, analyzer)
+    dtoks = F.array_distinct("tokens")
+    inter = F.size(F.array_intersect(dtoks, qa)).cast("double")
+    denom = F.greatest(F.size(dtoks), F.lit(len(q))).cast("double")
+    dist = F.lit(1.0) - inter / denom
+    return (
+        tok.select("doc_id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id",
+                F.round(F.col("dist") * 1e6).cast("bigint").alias("dist_u6"))
+    )
+
+
 def topk_similar(
     df: DataFrame,
     query_text: str,

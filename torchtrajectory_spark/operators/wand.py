@@ -53,18 +53,36 @@ class IndexMeta:
     term_df: dict  # term -> df (float)
 
 
-def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
+def _corpus_scalars(spark: SparkSession, index_dir: str) -> tuple[float, float]:
+    """(n_docs, avgdl) straight from the manifest rows — no data scan."""
+    from .index import read_manifest
+
+    m = read_manifest(spark, index_dir)
+    if "sum_dl" in m.columns:
+        row = m.agg(F.sum("row_count").alias("n"),
+                    F.sum("sum_dl").alias("sdl")).first()
+        n = float(row["n"] or 0)
+        return n, (float(row["sdl"] or 0) / n if n else 0.0)
+    # legacy index without sum_dl: fall back to a doc_stats scan
     ds = read_doc_stats(spark, index_dir)
     row = ds.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
-    # df per term from block metadata only (no decode): sum of n_docs
+    return float(row["n"]), float(row["avgdl"] or 0.0)
+
+
+def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
+    """Full-dictionary meta: manifest scalars + the precomputed terms
+    table (df from block metadata at build time — no payload decode)."""
+    from .index import read_terms
+
+    n_docs, avgdl = _corpus_scalars(spark, index_dir)
     dfs = (
-        read_postings(spark, index_dir)
-        .groupBy("term").agg(F.sum("n_docs").alias("df"))
+        read_terms(spark, index_dir)
+        .groupBy("term").agg(F.sum("df").alias("df"))
         .collect()
     )
     return IndexMeta(
-        n_docs=float(row["n"]),
-        avgdl=float(row["avgdl"]),
+        n_docs=n_docs,
+        avgdl=avgdl,
         term_df={r["term"]: float(r["df"]) for r in dfs},
     )
 
@@ -72,17 +90,23 @@ def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
 def query_term_meta(spark: SparkSession, index_dir: str,
                     query_terms: list[str],
                     buckets: int | None = None) -> IndexMeta:
-    """Cheaper per-query variant: df only for the query terms (the plan
-    scans only the query terms' buckets — partition-pruned)."""
-    ds = read_doc_stats(spark, index_dir)
-    row = ds.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    """Per-query variant: df only for the query terms, from the terms
+    dictionary with the bucket predicate pushed into the scan."""
+    from .index import read_index_config, read_terms
+
+    n_docs, avgdl = _corpus_scalars(spark, index_dir)
     q = sorted(set(query_terms))
+    if buckets is None:
+        buckets = int(read_index_config(index_dir)["buckets"])
+    bks = sorted({bucket_of(t, buckets) for t in q})
     dfs = (
-        _q_blocks(spark, index_dir, q, buckets)
-        .groupBy("term").agg(F.sum("n_docs").alias("df"))
+        read_terms(spark, index_dir)
+        .where(F.col("bucket").isin(bks))
+        .where(F.col("term").isin(q))
+        .groupBy("term").agg(F.sum("df").alias("df"))
         .collect()
     )
-    return IndexMeta(float(row["n"]), float(row["avgdl"]),
+    return IndexMeta(n_docs, avgdl,
                      {r["term"]: float(r["df"]) for r in dfs})
 
 

@@ -226,6 +226,81 @@ FROM topk JOIN documents d ON topk.doc_id = d.doc_id
 """.strip()
 
 
+def ebd_topk_sql(terms: list[str], k: int) -> str:
+    """EBD intersection distance top-k (kernels.ebd_topk). Exact rational
+    arithmetic (set sizes) before a single float division -> bit-stable."""
+    tl = _terms_list(sorted(set(terms)))
+    nq = len(set(terms))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         1.0 - CAST(len(list_intersect(t, [{tl}])) AS DOUBLE)
+               / CAST(greatest(len(t), {nq}) AS DOUBLE) AS dist
+  FROM toks
+)
+SELECT doc_id, CAST(round(dist * 1e6) AS BIGINT) AS dist_u6
+FROM d
+ORDER BY dist ASC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def user_hops_sql() -> str:
+    """Per-user consecutive-point haversine hops (window lag + C1 formula,
+    per-hop rounded to meters before the sum for order independence)."""
+    hav = (
+        "round(2.0 * 6371000.0 * asin(sqrt("
+        "sin(radians(lat - plat) / 2) * sin(radians(lat - plat) / 2)"
+        " + cos(radians(plat)) * cos(radians(lat))"
+        " * sin(radians(lng - plng) / 2) * sin(radians(lng - plng) / 2)"
+        ")))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+),
+hops AS (
+  SELECT user_id,
+         lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+         lat, lng
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_hops,
+       CAST(sum(CAST({hav} AS BIGINT)) AS BIGINT) AS total_m
+FROM hops
+WHERE plat IS NOT NULL
+GROUP BY user_id
+""".strip()
+
+
+def points_in_window_sql(lat_lo: float, lat_hi: float,
+                         lng_lo: float, lng_hi: float) -> str:
+    """Range-query oracle: the grid candidate phase is a superset filter,
+    so the exact answer is just the plain bounding-box predicate."""
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+)
+SELECT event_id, user_id
+FROM pts
+WHERE lat BETWEEN {lat_lo} AND {lat_hi}
+  AND lng BETWEEN {lng_lo} AND {lng_hi}
+""".strip()
+
+
 def anti_visited_sql(terms: list[str], visited_terms: list[str]) -> str:
     """OR-match minus docs matching a 'visited' term set (U3/F6 analog)."""
     a = bool_or_sql(terms)

@@ -66,6 +66,7 @@ def ensure_index(spark: SparkSession, sf_dir: str,
     marker = os.path.join(index_dir, "manifest")
     need = not (
         os.path.isdir(marker)
+        and os.path.isdir(os.path.join(index_dir, "terms"))
         and len([d for d in os.listdir(marker) if d.startswith("segment=")])
         >= _INDEX_SEGMENTS
     )
@@ -263,6 +264,29 @@ def _q_sim(measure: str):
     return q
 
 
+def q_sim_ebd_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kernels.ebd_topk(_docs(spark, sf_dir), Q_AND, K)
+
+
+def q_user_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import trajectory
+
+    return trajectory.user_hops(
+        trajectory.synth_points(_events(spark, sf_dir))
+    )
+
+
+WINDOW_BOX = (-20.0, 25.0, -90.0, 40.0)
+
+
+def q_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import trajectory
+
+    return trajectory.points_in_window(
+        trajectory.synth_points(_events(spark, sf_dir)), *WINDOW_BOX
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(
         multimodal.media_table(_docs(spark, sf_dir))
@@ -392,6 +416,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_top_terms": q_cluster_top_terms,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
+    "sim_ebd_topk": q_sim_ebd_topk,
+    "user_hops": q_user_hops,
+    "points_in_window": q_points_in_window,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -441,6 +468,9 @@ ORACLES: dict[str, str] = {
     "media_frame_sample": oracles_ext.frame_sample_sql(
         multimodal.FRAME_BYTES, multimodal.FRAME_STRIDE
     ),
+    "sim_ebd_topk": oracles.ebd_topk_sql(Q_AND, K),
+    "user_hops": oracles.user_hops_sql(),
+    "points_in_window": oracles.points_in_window_sql(*WINDOW_BOX),
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
