@@ -139,3 +139,48 @@ def test_sliding_term_counts_matches_batch(spark, tmp_path):
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
     assert got.count() > 0
+
+
+def test_stateful_running_hops_matches_batch(spark, tmp_path):
+    """applyInPandasWithState totals == batch user_hops after all input.
+
+    Input arrives as two chronological chunks (state must bridge the
+    batch boundary per user).
+    """
+    from torchtrajectory_spark.operators import trajectory
+    from torchtrajectory_spark.streaming.stateful import running_user_hops
+
+    events = load_table(spark, SF, "events")
+    pts = trajectory.synth_points(events)
+    cut = events.agg(F.expr("percentile(unix_micros(cast(ts as timestamp)), 0.5)")).first()[0]
+    src = str(tmp_path / "pts")
+    os.makedirs(src)
+    pts.where(F.unix_micros(F.col("ts").cast("timestamp")) <= cut).coalesce(1).write.parquet(
+        src + "/c0.tmp")
+    pts.where(F.unix_micros(F.col("ts").cast("timestamp")) > cut).coalesce(1).write.parquet(
+        src + "/c1.tmp")
+    for i in range(2):
+        d = f"{src}/c{i}.tmp"
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        os.rename(f"{d}/{part}", f"{src}/chunk{i}.parquet")
+
+    stream = spark.readStream.schema(
+        "user_id bigint, ts timestamp, event_id bigint, lat double, lng double"
+    ).option("maxFilesPerTrigger", 1).parquet(src + "/*.parquet")
+    q = (
+        running_user_hops(stream)
+        .writeStream.format("memory").queryName("hops")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    # last update per user wins
+    got_pdf = spark.table("hops").toPandas()
+    got = {}
+    for _, r in got_pdf.iterrows():
+        got[int(r["user_id"])] = (int(r["n_hops"]), int(r["total_m"]))
+
+    exp = {
+        r["user_id"]: (r["n_hops"], r["total_m"])
+        for r in trajectory.user_hops(pts).collect()
+    }
+    assert got == exp

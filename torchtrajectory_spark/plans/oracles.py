@@ -301,6 +301,37 @@ WHERE lat BETWEEN {lat_lo} AND {lat_hi}
 """.strip()
 
 
+def best_then_combine_sql() -> str:
+    """A4 two-level aggregation: per-(user, type) max then per-user sum."""
+    return """
+WITH best AS (
+  SELECT user_id, event_type,
+         CAST(round(max(value) * 100) AS BIGINT) AS best_c
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_types,
+       CAST(sum(best_c) AS BIGINT) AS sum_best_c
+FROM best GROUP BY user_id
+""".strip()
+
+
+def resolve_topk_json_sql(terms: list[str], k: int) -> str:
+    """C8 JSON result formatting: DuckDB to_json(struct_pack(...)) renders
+    byte-identically to Spark to_json(struct(...)) for these types."""
+    inner = bm25_topk_sql(terms, k)
+    return f"""
+WITH topk AS ({inner})
+SELECT topk.doc_id,
+       to_json(struct_pack(
+         doc_id := topk.doc_id,
+         score_u6 := topk.score_u6,
+         lang := d.lang,
+         n_chars := d.n_chars
+       )) AS result_json
+FROM topk JOIN documents d ON topk.doc_id = d.doc_id
+""".strip()
+
+
 def anti_visited_sql(terms: list[str], visited_terms: list[str]) -> str:
     """OR-match minus docs matching a 'visited' term set (U3/F6 analog)."""
     a = bool_or_sql(terms)

@@ -287,6 +287,37 @@ def q_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_best_then_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog (LEVI.java:288-317): per-(doc, query-point) best score,
+    then per-doc combine — here per-(user, event_type) max(value), then
+    per-user sum. Max is order-free; the per-group rounding to bigint
+    before the sum keeps the combine addition-order independent."""
+    e = _events(spark, sf_dir)
+    best = e.groupBy("user_id", "event_type").agg(
+        F.round(F.max("value") * 100).cast("bigint").alias("best_c")
+    )
+    return best.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("best_c").alias("sum_best_c"),
+    )
+
+
+def q_resolve_topk_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 analog (QueryResult.toJSON -> visualization/Formater.java:19-36):
+    the resolved top-k serialized as one JSON column."""
+    d = _docs(spark, sf_dir)
+    tk = topk.topk_bm25(d, Q_TOPK, K)
+    return tk.join(d, "doc_id").select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"), F.col("score_u6"), F.col("lang"),
+                F.col("n_chars"),
+            )
+        ).alias("result_json"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_features(
         multimodal.media_table(_docs(spark, sf_dir))
@@ -419,6 +450,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ebd_topk": q_sim_ebd_topk,
     "user_hops": q_user_hops,
     "points_in_window": q_points_in_window,
+    "best_then_combine": q_best_then_combine,
+    "resolve_topk_json": q_resolve_topk_json,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -471,6 +504,8 @@ ORACLES: dict[str, str] = {
     "sim_ebd_topk": oracles.ebd_topk_sql(Q_AND, K),
     "user_hops": oracles.user_hops_sql(),
     "points_in_window": oracles.points_in_window_sql(*WINDOW_BOX),
+    "best_then_combine": oracles.best_then_combine_sql(),
+    "resolve_topk_json": oracles.resolve_topk_json_sql(Q_TOPK, K),
     "bool_or": oracles.bool_or_sql(Q_OR),
     "bool_and": oracles.bool_and_sql(Q_AND),
     "bool_or_indexed": oracles.bool_or_sql(Q_OR),
