@@ -265,27 +265,25 @@ def build_segment_postings(
 ) -> tuple[DataFrame, DataFrame]:
     """Compressed postings blocks for one doc segment — true SPIMI:
 
-    1. **hot-term probe**: one pass over a seeded 10% doc sample; terms
-       whose sampled df exceeds the threshold get salted (the sampled hot
-       set is sound because salting is a performance hint; the seed keeps
-       the final layout deterministic for resume byte-identity).
-    2. **map**: each corpus partition tokenizes its docs and encodes its
+    1. **map**: each corpus partition tokenizes its docs and encodes its
        own docID-sorted mini-blocks (delta+varint) — the in-memory SPIMI
-       run, bounded by partition size.
-    3. **the ONE shuffle** moves *compressed bytes* keyed by
+       run, bounded by partition size. Hot-term salting is decided
+       LOCALLY per partition (term's local df >= hot_fraction x local
+       docs): a globally hot term is locally hot in nearly every
+       partition, so its minis spread over salt groups with no global
+       probe pass, and a term that is hot in some partitions and not in
+       others is still correct — salt groups are just independent
+       sub-lists, which every query path already handles.
+    2. **the ONE shuffle** moves *compressed bytes* keyed by
        ``(bucket=crc32(term)%B, salt)`` — ~2 orders of magnitude fewer
        rows than shuffling raw (term, doc, tf) postings.
-    4. **reduce**: per term, mini-blocks are decoded, merged docID-sorted,
-       and re-cut into canonical <=block_size blocks (deterministic
-       regardless of shuffle arrival order).
+    3. **reduce**: per (term, salt), mini-blocks are decoded, merged
+       docID-sorted, and re-cut into canonical <=block_size blocks
+       (deterministic regardless of shuffle arrival order).
     """
-    sample_frac = 0.1
-    hot = _sampled_hot_terms(
-        seg_corpus, id_col, text_col, analyzer, sample_frac, hot_fraction
-    )
     minis = seg_corpus.select(id_col, text_col).mapInPandas(
         _spimi_map_fn(id_col, text_col, analyzer, buckets, block_size,
-                      set(hot), salt_factor, with_positions),
+                      hot_fraction, salt_factor, with_positions),
         schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
     )
     blocks = minis.groupBy("bucket", "salt").applyInPandas(
@@ -295,50 +293,16 @@ def build_segment_postings(
     return blocks
 
 
-def _sampled_hot_terms(seg_corpus: DataFrame, id_col: str, text_col: str,
-                       analyzer: str, sample_frac: float,
-                       hot_fraction: float) -> list[str]:
-    """Hot (stopword-like) terms from one pass over a seeded doc sample.
-
-    The emit carries a sentinel (term NULL, tf = docs-in-chunk) row per
-    chunk so the sampled doc count comes out of the same aggregation —
-    no separate corpus count. Only terms repeated in the sample are
-    aggregated driver-side.
-    """
-    sample = seg_corpus.sample(False, sample_frac, seed=42)
-
-    def count_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        emit_chunk = _emit_fn(id_col, text_col, analyzer)
-        for g in emit_chunk(batches):
-            n_docs = g["doc_id"].nunique()
-            tc = g.groupby("term", sort=False).size()
-            tc = tc[tc >= 2]
-            yield pd.DataFrame({
-                "term": list(tc.index) + [None],
-                "cnt": list(tc.to_numpy()) + [n_docs],
-            })
-
-    rows = (
-        sample.select(id_col, text_col)
-        .mapInPandas(count_fn, schema="term string, cnt long")
-        .groupBy("term").agg(F.sum("cnt").alias("cnt"))
-        .collect()
-    )
-    n_docs = sum(r["cnt"] for r in rows if r["term"] is None)
-    cut = max(2, int(hot_fraction * n_docs * 0.5))
-    return [r["term"] for r in rows
-            if r["term"] is not None and r["cnt"] >= cut]
-
-
 def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
-                  block_size: int, hot: set, salt_factor: int,
+                  block_size: int, hot_fraction: float, salt_factor: int,
                   with_positions: bool):
     """Map task: whole input partition -> encoded mini-blocks.
 
-    Accumulates the partition's (term, doc, tf, dl[, pos]) postings via the
-    chunked emit, then sorts once and encodes per-term mini-blocks. Salt
-    for hot terms = xxhash-free ``crc32(term||first_doc) % salt_factor`` —
-    deterministic and spreads a hot term's minis over salt groups.
+    Accumulates the partition's (term, doc, tf, dl[, pos]) postings via
+    the chunked emit, then sorts once and encodes per-term mini-blocks.
+    Hot terms (local df >= hot_fraction x local docs) get
+    ``salt = doc_id % salt_factor`` — deterministic given the input
+    partitioning, no global pass.
     """
     emit_chunk = _emit_fn(id_col, text_col, analyzer, with_positions)
 
@@ -350,6 +314,10 @@ def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
         bmap = {t: zlib.crc32(t.encode("utf-8")) % buckets
                 for t in pdf["term"].unique()}
         pdf["bucket"] = pdf["term"].map(bmap).astype("int32")
+        n_local_docs = pdf["doc_id"].nunique()
+        cut = max(2, int(hot_fraction * n_local_docs))
+        df_local = pdf.groupby("term", sort=False)["doc_id"].size()
+        hot = set(df_local[df_local >= cut].index)
         if hot:
             pdf["salt"] = np.where(
                 pdf["term"].isin(hot),
