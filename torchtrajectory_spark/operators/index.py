@@ -633,16 +633,29 @@ def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
 
 
 def postings_flat(spark: SparkSession, index_dir: str,
-                  docs_only: bool = False) -> DataFrame:
+                  docs_only: bool = False,
+                  terms: list[str] | None = None,
+                  buckets: int | None = None) -> DataFrame:
     """Decode blocks back to (term, doc_id[, tf, dl]) rows — index-backed
     boolean queries and invariant tests build on this.
 
     ``docs_only=True`` skips the tf/dl payload decode AND prunes those
     columns out of the parquet scan — boolean AND/OR only need docIDs
     (the reference's ``getKeys`` vs ``getPairs`` split,
-    ``InvertedIndex.java:138-161``).
+    ``InvertedIndex.java:138-161``). ``terms`` prunes BELOW the decode:
+    the bucket + term predicates reach the parquet scan, so only the
+    query terms' blocks are ever decompressed (a filter above the Python
+    UDF cannot be pushed through it — it must be applied to the blocks).
     """
     blocks = read_postings(spark, index_dir)
+    if terms is not None:
+        q = sorted(set(str(t) for t in terms))
+        if buckets is None:
+            buckets = int(read_index_config(index_dir)["buckets"])
+        bks = sorted({bucket_of(t, buckets) for t in q})
+        blocks = blocks.where(F.col("bucket").isin(bks)).where(
+            F.col("term").isin(q)
+        )
 
     def explode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -263,7 +263,8 @@ def topk_bm25_index_filtered(
     ds = read_doc_stats(spark, index_dir)
     allowed = ds.where(predicate).select("doc_id")
 
-    flat = _flat(spark, index_dir).where(F.col("term").isin(q))
+    # terms pruned BELOW the decode UDF (pushed into the parquet scan)
+    flat = _flat(spark, index_dir, terms=q, buckets=buckets)
     idf_map = F.create_map(
         *[x for t in q for x in (F.lit(t), F.lit(idf[t]))]
     )
