@@ -148,6 +148,14 @@ def main() -> None:
     results["topk_qps"] = round(len(lats) / sum(lats), 2)
 
     # --- driver-table queries at SF_DIR ---
+    # pre-build the test-table indexes so per-query timings measure the
+    # query, not a first-touch ensure_index build (build throughput is
+    # the separate headline above)
+    from torchtrajectory_spark.plans.queries import ensure_index
+
+    ensure_index(spark, SF_DIR)
+    ensure_index(spark, SF_DIR, with_positions=True)
+
     qtimes: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.monotonic()

@@ -162,3 +162,24 @@ def test_skew_salting_bounds_sublists(spark, index_dir):
     )
     for _key, g in sizes.groupby(["segment", "term"]):
         assert g["nd"].max() <= 4 * max(1.0, g["nd"].mean())
+
+
+def test_index_results_partition_invariant(spark, tmp_path):
+    """Query results must not depend on how the input corpus was
+    partitioned at build time (mini-block layout may differ; scores and
+    ranks may not)."""
+    from torchtrajectory_spark.operators.index import build_index
+    from torchtrajectory_spark.operators.wand import topk_bm25_index
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = ["spark", "join", "window"]
+    results = []
+    for nparts in (2, 7):
+        out = str(tmp_path / f"idx_p{nparts}")
+        build_index(spark, docs.repartition(nparts), out, id_col="doc_id",
+                    text_col="text", analyzer="ws", n_segments=2, buckets=8,
+                    resume=False)
+        rows = topk_bm25_index(spark, out, q, 10, buckets=8).collect()
+        results.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
+    assert results[0] == results[1]
