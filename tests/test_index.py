@@ -183,3 +183,61 @@ def test_index_results_partition_invariant(spark, tmp_path):
         rows = topk_bm25_index(spark, out, q, 10, buckets=8).collect()
         results.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
     assert results[0] == results[1]
+
+
+def test_reference_query_set_rank_identical(spark, corpus, index_dir):
+    """The full bench reference query set: indexed top-k docIDs AND scores
+    must match the brute-force BM25 scorer (north-rule rank-identity)."""
+    import bench
+
+    from torchtrajectory_spark.operators.wand import open_index_meta
+
+    meta = open_index_meta(spark, index_dir)
+    for q in bench.QUERY_SET:
+        got = topk_bm25_index(spark, index_dir, q, 10, meta=meta,
+                              buckets=BUCKETS).collect()
+        exp = topk_bm25(corpus, q, 10, id_col="doc_id",
+                        text_col="content", analyzer="code").collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp], q
+        for g, e in zip(got, exp):
+            assert abs(g["score"] * 1e6 - e["score_u6"]) < 1.0, q
+
+
+def test_compact_index_preserves_results(spark, corpus, index_dir,
+                                         tmp_path_factory):
+    """Compacting 3 segments into 1 preserves every posting, the query
+    results, the doc store, and the composed manifest metrics."""
+    from torchtrajectory_spark.operators.index import (
+        compact_index,
+        read_terms,
+    )
+
+    dst = str(tmp_path_factory.mktemp("compacted"))
+    compact_index(spark, index_dir, dst)
+
+    cols = ["term", "doc_id", "tf", "dl"]
+    a = postings_flat(spark, index_dir).select(*cols)
+    b = postings_flat(spark, dst).select(*cols)
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+
+    q = ["def", "return", "id_0"]
+    got = topk_bm25_index(spark, dst, q, 10, buckets=BUCKETS).collect()
+    exp = topk_bm25_index(spark, index_dir, q, 10, buckets=BUCKETS).collect()
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+           [(r["doc_id"], round(r["score"], 9)) for r in exp]
+
+    m_src = read_manifest(spark, index_dir).toPandas()
+    m_dst = read_manifest(spark, dst).toPandas()
+    assert len(m_dst) == 1
+    assert m_dst["row_count"].iloc[0] == m_src["row_count"].sum()
+    fp = 0
+    for h in m_src["input_fingerprint"]:
+        fp ^= int(h, 16)
+    assert m_dst["input_fingerprint"].iloc[0] == format(fp, "016x")
+
+    df_src = read_terms(spark, index_dir).groupBy("term").agg(
+        F.sum("df").alias("df"))
+    df_dst = read_terms(spark, dst).groupBy("term").agg(
+        F.sum("df").alias("df"))
+    assert df_src.subtract(df_dst).count() == 0

@@ -564,6 +564,77 @@ def commit_segment(
     )
 
 
+def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
+                  block_size: int | None = None) -> None:
+    """Compact a many-segment index into a one-segment index at dst_dir.
+
+    The LSM-style maintenance step the streaming path needs: foreachBatch
+    appends one segment per micro-batch, and an old stream leaves
+    thousands of small segments; compaction re-merges every term's blocks
+    (segments are doc-disjoint, so the merge is exactly the reduce-side
+    mini-block merge) and unions doc_stats. Metrics compose without a
+    corpus pass: the xor-fingerprint is associative, rows/dl/bytes sum.
+    Writing to a fresh directory keeps the source readable throughout —
+    swap directories (or catalog pointers) after it commits.
+    """
+    cfg = read_index_config(src_dir)
+    if block_size is None:
+        block_size = int(cfg.get("block_size", BLOCK_SIZE))
+    with_positions = bool(cfg.get("with_positions", False))
+    paths = IndexPaths(dst_dir)
+    os.makedirs(paths.manifest, exist_ok=True)
+    _write_index_config(dst_dir, {**cfg, "n_segments": 1,
+                                  "compacted_from": src_dir})
+    t0 = time.monotonic()
+
+    from pyspark.sql import Observation
+
+    src_blocks = read_postings(spark, src_dir).drop("segment")
+    wobs = Observation("compact_blocks")
+    merged = src_blocks.groupBy("bucket", "salt").applyInPandas(
+        lambda pdf: _merge_minis(pdf, block_size, with_positions),
+        schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
+    )
+    _atomic_write(
+        merged.sortWithinPartitions("bucket", "term").observe(
+            wobs,
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum(
+                F.octet_length("doc_gaps") + F.octet_length("tfs")
+                + F.octet_length("dls")
+            ).alias("bytes"),
+        ),
+        paths.seg(paths.postings, 0),
+    )
+    _atomic_write(read_doc_stats(spark, src_dir).drop("segment"),
+                  paths.seg(paths.doc_stats, 0))
+    terms_df = (
+        spark.read.parquet(paths.seg(paths.postings, 0))
+        .groupBy("bucket", "term").agg(F.sum("n_docs").alias("df"))
+    )
+    _atomic_write(terms_df.sortWithinPartitions("bucket", "term"),
+                  paths.seg(paths.terms, 0))
+
+    src_m = read_manifest(spark, src_dir).toPandas()
+    fp = 0
+    for h in src_m["input_fingerprint"]:
+        fp ^= int(h, 16)
+    wm = wobs.get
+    manifest_row = pd.DataFrame([{
+        "segment": 0,
+        "input_fingerprint": format(fp & (2**64 - 1), "016x"),
+        "row_count": int(src_m["row_count"].sum()),
+        "sum_dl": int(src_m["sum_dl"].sum()) if "sum_dl" in src_m else 0,
+        "block_count": int(wm["blocks"] or 0),
+        "bytes": int(wm["bytes"] or 0),
+        "duration_ms": int((time.monotonic() - t0) * 1000),
+        "status": "ok",
+        "attempt": 1,
+    }])
+    _atomic_write(spark.createDataFrame(manifest_row),
+                  os.path.join(paths.manifest, "segment=0"))
+
+
 def _write_index_config(index_dir: str, cfg: dict) -> None:
     import json
 
