@@ -34,13 +34,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "100000"))
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "120000"))
-# N -> 4N parallelism pair for the scaling-efficiency evidence. (4, 16) by
+# N -> 4N parallelism pair for the scaling-efficiency evidence. (2, 8) by
 # default: this sandbox shares its 32 hardware threads with other tenants
-# (host load is routinely 10+), so a 32-wide run measures contention, not
-# the engine. Override with SPARK_GRAFT_SCALE_LOW / _HIGH.
-SCALE_LOW_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "4"))
-SCALE_HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "16"))
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+# (host load is routinely 10+) and its memory bandwidth saturates well
+# before 32 python workers, so wide runs measure the box, not the engine;
+# (2, 8) stays inside the reliably-available capacity. Override with
+# SPARK_GRAFT_SCALE_LOW / _HIGH.
+SCALE_LOW_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+SCALE_HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
 # deterministic reference query set over the synthetic code vocabulary
