@@ -1,0 +1,81 @@
+"""Engine facade parity: each public method == the underlying operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.engine import Engine
+from torchtrajectory_spark.operators.boolean import bool_and, bool_or
+from torchtrajectory_spark.operators.phrase import phrase_count
+from torchtrajectory_spark.operators.topk import topk_bm25, topk_bm25_filtered
+from torchtrajectory_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path_factory.mktemp("engine_idx"))
+    eng = Engine.build(
+        spark, docs, d, id_col="doc_id", text_col="text", analyzer="ws",
+        meta_cols=("lang", "source"), n_segments=2, buckets=8,
+        with_positions=True,
+    )
+    return eng, docs
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_find_topk(spark, engine):
+    eng, docs = engine
+    got = eng.find_topk(["spark", "join"], 10).collect()
+    exp = topk_bm25(docs, ["spark", "join"], 10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+
+
+def test_find_topk_filtered(spark, engine):
+    eng, docs = engine
+    got = eng.find_topk(["spark", "join"], 10,
+                        where=F.col("lang") == "en").collect()
+    exp = topk_bm25_filtered(docs, ["spark", "join"], 10,
+                             F.col("lang") == "en").collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in exp]
+
+
+def test_boolean_paths(spark, engine):
+    eng, docs = engine
+    assert _ids(eng.find_on_path(["dup", "vector"])) == _ids(
+        bool_or(docs, ["dup", "vector"]))
+    assert _ids(eng.find_on_strict_path(["spark", "query"])) == _ids(
+        bool_and(docs, ["spark", "query"]))
+
+
+def test_phrase_and_resolve(spark, engine):
+    eng, docs = engine
+    got = {(r["doc_id"], r["n_occ"])
+           for r in eng.find_phrase(["table", "hash"]).collect()}
+    exp = {(r["doc_id"], r["n_occ"])
+           for r in phrase_count(docs, ["table", "hash"]).collect()}
+    assert got == exp
+
+    resolved = eng.resolve(eng.find_topk(["spark"], 5))
+    rows = resolved.collect()
+    assert len(rows) == 5
+    assert {"lang", "source", "content_sha256"} <= set(resolved.columns)
+
+
+def test_with_bm25_changes_scores(spark, engine):
+    eng, _ = engine
+    a = eng.find_topk(["spark", "join"], 5).collect()
+    b = eng.with_bm25(0.5, 0.2).find_topk(["spark", "join"], 5).collect()
+    assert any(abs(x["score"] - y["score"]) > 1e-12 for x, y in zip(a, b))
+
+
+def test_manifest_rows(spark, engine):
+    eng, _ = engine
+    m = eng.manifest().toPandas()
+    assert len(m) == 2 and (m["status"] == "ok").all()

@@ -22,3 +22,5 @@ Python appears only inside Arrow-batched UDFs (tokenize, codec, WAND loop).
 """
 
 __version__ = "0.1.0"
+
+from .engine import Engine  # noqa: E402,F401  (public facade)

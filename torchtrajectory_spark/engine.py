@@ -1,0 +1,123 @@
+"""Engine facade — the reference's public API surface, Spark-native.
+
+Mirrors T-Torch's ``queryEngine/Engine.java`` entry points one-to-one
+(``findTopK:43-49``, ``findOnPath:64-123``, ``findInRange:141-151``, the
+builder ``Engine.Builder`` and the runtime-tunable scorer params
+``Engine.update:165-167``), so a user of the reference can switch by
+mapping each call:
+
+    Engine.getBuilder().baseURI(p).build()  -> Engine.from_index(spark, p)
+    engine.findTopK(q, k)                   -> engine.find_topk(terms, k)
+    engine.findOnPath(q)                    -> engine.find_on_path(terms)
+    engine.findOnStrictPath(q)              -> engine.find_on_strict_path(terms)
+    engine.findInRange(window)              -> metadata predicates via
+                                               find_topk(where=...)
+    resolver (trajectory -> coordinates)    -> engine.resolve(result)
+    engine.update("simFunc", ...)           -> engine.with_bm25(k1, b)
+
+Every method returns a lazy DataFrame — compose further or ``.collect()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from .config import BM25_B, BM25_K1, DEFAULT_K
+from .operators import boolean, phrase as phrase_ops
+from .operators.index import (
+    build_index,
+    postings_flat,
+    read_doc_stats,
+    read_index_config,
+    read_manifest,
+)
+from .operators.wand import (
+    IndexMeta,
+    open_index_meta,
+    topk_bm25_index,
+    topk_bm25_index_filtered,
+)
+
+
+@dataclass
+class Engine:
+    spark: SparkSession
+    index_dir: str
+    k1: float = BM25_K1
+    b: float = BM25_B
+    _buckets: int = field(default=0, repr=False)
+    _meta: IndexMeta | None = field(default=None, repr=False)
+
+    # ------------------------------------------------- construction ----
+    @classmethod
+    def from_index(cls, spark: SparkSession, index_dir: str) -> "Engine":
+        """Open an existing index (the reference's query-time bootstrap,
+        ``QueryPool`` ctor)."""
+        cfg = read_index_config(index_dir)
+        return cls(spark, index_dir, _buckets=int(cfg["buckets"]))
+
+    @classmethod
+    def build(cls, spark: SparkSession, corpus: DataFrame, index_dir: str,
+              **build_kwargs) -> "Engine":
+        """Build (or resume) the index, then open it — the offline entry
+        (``MapMatching.start`` -> index build, SURVEY.md §3.3)."""
+        build_index(spark, corpus, index_dir, **build_kwargs)
+        return cls.from_index(spark, index_dir)
+
+    def with_bm25(self, k1: float, b: float) -> "Engine":
+        """Runtime scorer-parameter swap (Engine.update analog)."""
+        return Engine(self.spark, self.index_dir, k1, b,
+                      _buckets=self._buckets)
+
+    # --------------------------------------------------- query API -----
+    def find_topk(self, terms: list[str], k: int = DEFAULT_K,
+                  where: Column | None = None) -> DataFrame:
+        """Top-k BM25 (findTopK). ``where`` is a metadata predicate over
+        the doc_stats columns — the in-loop constraint (F2)."""
+        if where is not None:
+            return topk_bm25_index_filtered(
+                self.spark, self.index_dir, terms, k, where,
+                buckets=self._buckets, k1=self.k1, b=self.b,
+            )
+        return topk_bm25_index(
+            self.spark, self.index_dir, terms, k,
+            meta=self._open_meta(), buckets=self._buckets,
+            k1=self.k1, b=self.b,
+        )
+
+    def find_on_path(self, terms: list[str]) -> DataFrame:
+        """Boolean OR — docs sharing >=1 term (findOnPath / J2)."""
+        return boolean.bool_or_index(self._flat(terms), terms)
+
+    def find_on_strict_path(self, terms: list[str]) -> DataFrame:
+        """Boolean AND — docs containing all terms (findOnStrictPath / J3)."""
+        return boolean.bool_and_index(self._flat(terms), terms)
+
+    def find_phrase(self, phrase: list[str]) -> DataFrame:
+        """Exact consecutive-token phrase (positional index required)."""
+        return phrase_ops.phrase_count_index(
+            self.spark, self.index_dir, phrase, buckets=self._buckets
+        )
+
+    def resolve(self, result: DataFrame) -> DataFrame:
+        """Join a (doc_id, ...) result against the doc store metadata —
+        the TrajectoryResolver step (J7)."""
+        ds = read_doc_stats(self.spark, self.index_dir).drop("segment")
+        return result.join(ds, "doc_id", "left")
+
+    # ------------------------------------------------- introspection ---
+    def manifest(self) -> DataFrame:
+        """Per-segment lineage + metrics rows."""
+        return read_manifest(self.spark, self.index_dir)
+
+    # ------------------------------------------------------ helpers ----
+    def _open_meta(self) -> IndexMeta:
+        if self._meta is None:
+            self._meta = open_index_meta(self.spark, self.index_dir)
+        return self._meta
+
+    def _flat(self, terms: list[str]) -> DataFrame:
+        return postings_flat(self.spark, self.index_dir, docs_only=True,
+                             terms=terms, buckets=self._buckets)
