@@ -86,6 +86,27 @@ def ensure_index(spark: SparkSession, sf_dir: str,
     return index_dir
 
 
+def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Compact the test index into one segment (LSM maintenance path);
+    queries against it must be indistinguishable from the original."""
+    from ..operators.index import compact_index
+
+    src = ensure_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"tts_compacted_{tag}")
+    marker = os.path.join(dst, "manifest", "segment=0")
+    if not os.path.isdir(marker):
+        compact_index(spark, src, dst)
+    return dst
+
+
+def q_topk_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = ensure_compacted_index(spark, sf_dir)
+    return _score_u6(
+        topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
+    )
+
+
 def _score_u6(df: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6")
@@ -442,6 +463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_rare": q_topk_bm25_rare,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "topk_bm25_filtered_indexed": q_topk_bm25_filtered_indexed,
+    "topk_bm25_compacted": q_topk_bm25_compacted,
     **{f"sim_{m}_topk": _q_sim(m) for m in kernels.MEASURES},
     "phrase_bigram": q_phrase_bigram,
     "phrase_trigram": q_phrase_trigram,
@@ -493,6 +515,7 @@ ORACLES: dict[str, str] = {
     "topk_bm25_filtered_indexed": oracles.bm25_topk_filtered_sql(
         Q_TOPK, K, FILTER_PRED_SQL
     ),
+    "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
     # sim_*_topk: iterative DP kernels, not SQL-expressible (SURVEY.md §2.8)
     # — driver records rows-only; exactness asserted in tests/test_kernels.py.
     "phrase_bigram": oracles.phrase_count_sql(PHRASE_2),
