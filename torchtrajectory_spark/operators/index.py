@@ -562,6 +562,7 @@ def commit_segment(
         spark.createDataFrame(manifest_row),
         os.path.join(paths.manifest, f"segment={s}"),
     )
+    invalidate_index_cache(paths.root)
 
 
 def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
@@ -633,6 +634,7 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
     }])
     _atomic_write(spark.createDataFrame(manifest_row),
                   os.path.join(paths.manifest, "segment=0"))
+    invalidate_index_cache(dst_dir)
 
 
 def _write_index_config(index_dir: str, cfg: dict) -> None:
@@ -680,27 +682,43 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(IndexPaths(index_dir).manifest, "segment=*"))
 
 
+# Lazy-plan cache: building a parquet DataFrame re-lists the index files
+# (InMemoryFileIndex) on every call — ~0.15s per query on a warm index.
+# Index directories are immutable between builds, so the resolved plan is
+# cached per (session, path) and invalidated whenever a segment commits.
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_read(spark: SparkSession, base: str, kind: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind, os.path.abspath(base))
+    df = _PLAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.option("basePath", base).parquet(
+            os.path.join(base, "segment=*")
+        )
+        _PLAN_CACHE[key] = df
+    return df
+
+
+def invalidate_index_cache(index_dir: str) -> None:
+    """Drop cached plans for an index (called after every segment commit)."""
+    root = os.path.abspath(index_dir)
+    for k in [k for k in _PLAN_CACHE if k[2].startswith(root)]:
+        del _PLAN_CACHE[k]
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
-    p = IndexPaths(index_dir)
-    return spark.read.option("basePath", p.postings).parquet(
-        os.path.join(p.postings, "segment=*")
-    )
+    return _cached_read(spark, IndexPaths(index_dir).postings, "postings")
 
 
 def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     """(bucket, term, df) dictionary — per-segment df partials; global df
     per term = sum over segments."""
-    p = IndexPaths(index_dir)
-    return spark.read.option("basePath", p.terms).parquet(
-        os.path.join(p.terms, "segment=*")
-    )
+    return _cached_read(spark, IndexPaths(index_dir).terms, "terms")
 
 
 def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    p = IndexPaths(index_dir)
-    return spark.read.option("basePath", p.doc_stats).parquet(
-        os.path.join(p.doc_stats, "segment=*")
-    )
+    return _cached_read(spark, IndexPaths(index_dir).doc_stats, "doc_stats")
 
 
 def postings_flat(spark: SparkSession, index_dir: str,
