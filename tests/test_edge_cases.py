@@ -1,0 +1,107 @@
+"""Robustness edge cases: degenerate corpora, unknown terms, unicode.
+
+The reference silently drops malformed rows (``TrajReader.java:75-124``)
+and its README warns about degenerate inputs; this engine must stay
+correct (not merely not-crash) on the same classes of input.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.engine import Engine
+from torchtrajectory_spark.operators.index import (
+    build_index,
+    postings_flat,
+    read_doc_stats,
+    read_manifest,
+)
+
+
+@pytest.fixture(scope="module")
+def weird_corpus(spark):
+    rows = [
+        (0, "alpha beta beta gamma"),
+        (1, ""),                                  # empty doc
+        (2, "   "),                               # whitespace only
+        (3, "naïve café 名前 emoji🚀 mix"),        # unicode (NFC)
+        (4, "alpha " * 5000),                     # very long, single term
+        (5, None),                                # null text
+        (6, "alpha"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def weird_index(spark, weird_corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("weird_idx"))
+    build_index(spark, weird_corpus.fillna({"text": ""}), d,
+                id_col="doc_id", text_col="text", analyzer="ws",
+                n_segments=2, buckets=4, with_positions=True, resume=False)
+    return d
+
+
+def test_degenerate_docs_indexed_correctly(spark, weird_corpus, weird_index):
+    flat = postings_flat(spark, weird_index).toPandas()
+    # docs 1, 2, 5 contribute no postings; 0, 3, 4, 6 do
+    assert set(flat["doc_id"]) == {0, 3, 4, 6}
+    alpha = flat[(flat["term"] == "alpha")]
+    assert set(alpha["doc_id"]) == {0, 4, 6}
+    assert alpha.set_index("doc_id")["tf"].to_dict()[4] == 5000
+    # unicode terms survive the codec + shuffle round trip intact
+    assert "名前" in set(flat["term"])
+    assert "emoji🚀" in set(flat["term"])
+
+
+def test_doc_stats_cover_empty_docs(spark, weird_index):
+    ds = read_doc_stats(spark, weird_index).toPandas()
+    assert set(ds["doc_id"]) == set(range(7))
+    dl = ds.set_index("doc_id")["dl"].to_dict()
+    assert dl[1] == 0 and dl[2] == 0 and dl[5] == 0
+    assert dl[4] == 5000
+    m = read_manifest(spark, weird_index).toPandas()
+    assert m["row_count"].sum() == 7
+
+
+def test_queries_on_weird_index(spark, weird_index):
+    eng = Engine.from_index(spark, weird_index)
+    # unknown term -> empty, no exception
+    assert eng.find_topk(["zzznotaterm"], 5).count() == 0
+    assert eng.find_on_path(["zzznotaterm"]).count() == 0
+    assert eng.find_phrase(["zzz", "yyy"]).count() == 0
+    # unicode query term works end to end
+    got = eng.find_topk(["名前"], 5).collect()
+    assert [r["doc_id"] for r in got] == [3]
+    # k larger than corpus
+    assert eng.find_topk(["alpha"], 100).count() == 3
+    # phrase across the long doc: "alpha alpha" occurs 4999 times
+    ph = {r["doc_id"]: r["n_occ"]
+          for r in eng.find_phrase(["alpha", "alpha"]).collect()}
+    assert ph == {4: 4999}
+
+
+def test_empty_corpus_build(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    d = str(tmp_path / "empty_idx")
+    build_index(spark, empty, d, id_col="doc_id", text_col="text",
+                analyzer="ws", n_segments=1, buckets=4, resume=False)
+    m = read_manifest(spark, d).toPandas()
+    assert len(m) == 1 and m["row_count"].iloc[0] == 0
+    assert postings_flat(spark, d).count() == 0
+    eng = Engine.from_index(spark, d)
+    assert eng.find_topk(["anything"], 5).count() == 0
+
+
+def test_duplicate_doc_ids_both_kept(spark, tmp_path):
+    """Duplicate doc_ids are the caller's bug, but must not corrupt the
+    index structure (both postings present; blocks stay doc-sorted)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (1, "alpha gamma")],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "dup_idx")
+    build_index(spark, df, d, id_col="doc_id", text_col="text",
+                analyzer="ws", n_segments=1, buckets=2, resume=False)
+    flat = postings_flat(spark, d).toPandas()
+    assert len(flat[flat["term"] == "alpha"]) == 2
