@@ -123,30 +123,78 @@ def _q_blocks(spark: SparkSession, index_dir: str, q: list[str],
     )
 
 
-def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
-                  k1: float, b: float) -> pd.DataFrame:
-    """Exact top-k for one segment: UB-ordered chunked scan, early stop."""
-    idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
-    # decode per-term postings (salted sub-lists concat + sort by doc)
-    all_docs: list[np.ndarray] = []
-    all_ubs: list[np.ndarray] = []
-    term_arrays = {}
-    for term, grp in pdf.groupby("term", sort=True):
-        docs = np.concatenate([codec.decode_sorted(g) for g in grp["doc_gaps"]])
-        tfs = np.concatenate([codec.decode_u32s(g) for g in grp["tfs"]])
-        dls = np.concatenate([codec.decode_u32s(g) for g in grp["dls"]])
+class _TermPostings:
+    """One query term's postings in a segment, payloads decoded lazily.
+
+    docIDs are decoded eagerly (needed for the UB pass and the candidate
+    lookups); tf/dl varint payloads are decoded per BLOCK only when a
+    surviving candidate actually touches that block — the true block-max
+    WAND behavior (reference T5: blocks the θ-pruned scan never reaches
+    are never decompressed).
+
+    Measured caveat: on the synthetic bench corpus the skip rate is ~0%
+    because uniform doc lengths + Zipf tf make block maxes nearly equal,
+    so θ-termination fires only at the very end of the scan. The laziness
+    costs nothing there and pays off exactly when block maxes
+    discriminate (real corpora with length/tf spread).
+    """
+
+    def __init__(self, grp: pd.DataFrame, idf: float, avgdl: float,
+                 k1: float, b: float):
+        docs_list = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
+        n_blocks = len(docs_list)
+        docs = np.concatenate(docs_list)
+        blk_rep = np.repeat(np.arange(n_blocks), grp["n_docs"].to_numpy())
+        off_rep = np.concatenate(
+            [np.arange(d.size, dtype=np.int64) for d in docs_list]
+        )
         order = np.argsort(docs, kind="mergesort")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        term_arrays[term] = (docs, tfs, dls)
-        # per-block UB expanded to members (block-max metadata bound)
-        blk_ub = idf[term] * tf_sat_np(
+        self.docs = docs[order]
+        self._blk = blk_rep[order]
+        self._off = off_rep[order]
+        self._tf_bufs = [bytes(x) for x in grp["tfs"]]
+        self._dl_bufs = [bytes(x) for x in grp["dls"]]
+        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self.blocks_decoded = 0
+        blk_ub = idf * tf_sat_np(
             grp["max_tf"].to_numpy(dtype=np.float64),
             grp["min_dl"].to_numpy(dtype=np.float64),
-            meta.avgdl, k1, b,
+            avgdl, k1, b,
         )
-        member_ub = np.repeat(blk_ub, grp["n_docs"].to_numpy())[order]
-        all_docs.append(docs)
-        all_ubs.append(member_ub)
+        self.member_ub = blk_ub[self._blk]
+
+    def tf_dl_at(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(tf, dl) for sorted-posting indices, decoding touched blocks."""
+        blks = self._blk[idx]
+        offs = self._off[idx]
+        tf_out = np.empty(idx.size, dtype=np.float64)
+        dl_out = np.empty(idx.size, dtype=np.float64)
+        for bid in np.unique(blks):
+            dec = self._decoded.get(bid)
+            if dec is None:
+                dec = (codec.decode_u32s(self._tf_bufs[bid]),
+                       codec.decode_u32s(self._dl_bufs[bid]))
+                self._decoded[bid] = dec
+                self.blocks_decoded += 1
+            m = blks == bid
+            tf_out[m] = dec[0][offs[m]]
+            dl_out[m] = dec[1][offs[m]]
+        return tf_out, dl_out
+
+
+def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
+                  k1: float, b: float) -> pd.DataFrame:
+    """Exact top-k for one segment: UB-ordered chunked scan, early stop,
+    per-block lazy payload decode."""
+    idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
+    all_docs: list[np.ndarray] = []
+    all_ubs: list[np.ndarray] = []
+    term_arrays: dict[str, _TermPostings] = {}
+    for term, grp in pdf.groupby("term", sort=True):
+        tp = _TermPostings(grp, idf[term], meta.avgdl, k1, b)
+        term_arrays[term] = tp
+        all_docs.append(tp.docs)
+        all_ubs.append(tp.member_ub)
     if not all_docs:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
@@ -176,16 +224,15 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
         dchunk = sorted_docs[s:s + chunk]
         scores = np.zeros(dchunk.size, dtype=np.float64)
         for term in sorted(term_arrays):
-            docs, tfs, dls = term_arrays[term]
-            pos = np.searchsorted(docs, dchunk)
-            pos_c = np.clip(pos, 0, docs.size - 1)
-            hit = docs[pos_c] == dchunk
-            contrib = idf[term] * tf_sat_np(
-                tfs[pos_c].astype(np.float64),
-                dls[pos_c].astype(np.float64),
-                meta.avgdl, k1, b,
-            )
-            scores += np.where(hit, contrib, 0.0)
+            tp = term_arrays[term]
+            pos = np.searchsorted(tp.docs, dchunk)
+            pos_c = np.clip(pos, 0, tp.docs.size - 1)
+            hit = tp.docs[pos_c] == dchunk
+            hit_idx = pos_c[hit]
+            if hit_idx.size:
+                tfs, dls = tp.tf_dl_at(hit_idx)
+                contrib = idf[term] * tf_sat_np(tfs, dls, meta.avgdl, k1, b)
+                scores[hit] += contrib
         topk_docs = np.concatenate([topk_docs, dchunk])
         topk_scores = np.concatenate([topk_scores, scores])
         # keep only current top-k (score DESC, doc ASC)
