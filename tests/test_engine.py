@@ -79,3 +79,10 @@ def test_manifest_rows(spark, engine):
     eng, _ = engine
     m = eng.manifest().toPandas()
     assert len(m) == 2 and (m["status"] == "ok").all()
+
+
+def test_find_in_range(spark, engine):
+    eng, docs = engine
+    got = _ids(eng.find_in_range(F.col("lang").isin("en", "fr")))
+    exp = _ids(docs.where(F.col("lang").isin("en", "fr")).select("doc_id"))
+    assert got == exp

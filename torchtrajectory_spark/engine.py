@@ -101,6 +101,17 @@ class Engine:
             self.spark, self.index_dir, phrase, buckets=self._buckets
         )
 
+    def find_in_range(self, predicate: Column) -> DataFrame:
+        """Range/window query over the doc store metadata (findInRange /
+        J4 analog): the geometric window of the reference becomes a
+        metadata predicate over doc_stats columns; at scale the predicate
+        prunes partitions/row groups of the doc_stats table."""
+        return (
+            read_doc_stats(self.spark, self.index_dir)
+            .where(predicate)
+            .select("doc_id")
+        )
+
     def resolve(self, result: DataFrame) -> DataFrame:
         """Join a (doc_id, ...) result against the doc store metadata —
         the TrajectoryResolver step (J7)."""
