@@ -105,3 +105,21 @@ def test_duplicate_doc_ids_both_kept(spark, tmp_path):
                 analyzer="ws", n_segments=1, buckets=2, resume=False)
     flat = postings_flat(spark, d).toPandas()
     assert len(flat[flat["term"] == "alpha"]) == 2
+
+
+def test_near_dup_keep_collapses_chains(spark):
+    """a~b and b~c (but a!~c directly) must share one keeper (doc 0)."""
+    from torchtrajectory_spark.operators.dedup import near_dup_keep
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [
+        (0, base),
+        (1, base + " x1"),            # near-dup of 0 and 2
+        (2, base + " x1 x2"),         # near-dup of 1, weaker vs 0
+        (3, "completely different tokens here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    keep = {r["doc_id"]: r["keep_doc_id"]
+            for r in near_dup_keep(df, 0.7).collect()}
+    assert keep[0] == 0 and keep[1] == 0 and keep[2] == 0
+    assert keep[3] == 3

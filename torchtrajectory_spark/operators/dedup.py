@@ -160,6 +160,47 @@ def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
     )
 
 
+KEEP_ITERS = 5
+
+
+def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
+                  text_col: str = "text", analyzer: str = "ws",
+                  n_iters: int = KEEP_ITERS) -> DataFrame:
+    """(doc_id, keep_doc_id) — the dedup pipeline's final decision.
+
+    Connected components over the exact-Jaccard near-dup graph via
+    ``n_iters`` rounds of min-label propagation (label = smallest doc_id
+    reachable; component representative = the kept doc). A FIXED iteration
+    count is part of the spec so the DuckDB oracle runs the identical
+    algorithm; near-dup components are short-diameter in practice, and at
+    corpus scale each round is one shuffle join (the standard large-graph
+    CC pattern; raise ``n_iters`` for deeper chains).
+
+    Singletons keep themselves; ``keep_doc_id == doc_id`` marks survivors.
+    """
+    edges = jaccard_pairs(df, threshold, id_col, text_col, analyzer).select(
+        "doc_a", "doc_b"
+    )
+    und = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    )
+    labels = df.select(F.col(id_col).alias("doc_id"),
+                       F.col(id_col).alias("label"))
+    for _ in range(n_iters):
+        neigh = (
+            und.join(labels, und["doc_b"] == labels["doc_id"])
+            .select(F.col("doc_a").alias("doc_id"),
+                    F.col("label"))
+        )
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+    return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
+
+
 def _nibble(hex_col, i: int):
     """Hex char at 1-based position i -> 0..15 (portable arithmetic)."""
     ch = F.substring(hex_col, i, 1)

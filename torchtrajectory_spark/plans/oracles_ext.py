@@ -338,3 +338,30 @@ FROM documents,
                        AS BIGINT),
                   {stride})) AS u(i)
 """.strip()
+
+
+def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
+    """Dedup keep-list oracle: the SAME fixed-iteration min-label
+    propagation as operators/dedup.py near_dup_keep, as nested CTEs over
+    the exact-Jaccard pair graph."""
+    edges = jaccard_pairs_sql(threshold)
+    ctes = [
+        f"edges AS (SELECT doc_a, doc_b FROM ({edges}))",
+        ("und AS (SELECT doc_a, doc_b FROM edges "
+         "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges)"),
+        "l0 AS (SELECT doc_id, doc_id AS label FROM documents)",
+    ]
+    for i in range(n_iters):
+        prev, cur = f"l{i}", f"l{i + 1}"
+        ctes.append(
+            f"{cur} AS (SELECT doc_id, min(label) AS label FROM ("
+            f"SELECT doc_id, label FROM {prev} "
+            f"UNION ALL "
+            f"SELECT und.doc_a AS doc_id, {prev}.label "
+            f"FROM und JOIN {prev} ON und.doc_b = {prev}.doc_id"
+            f") GROUP BY doc_id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, label AS keep_doc_id FROM l{n_iters}"
+    )

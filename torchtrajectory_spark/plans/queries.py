@@ -401,6 +401,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs(spark, sf_dir))
 
 
+def q_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.near_dup_keep(_docs(spark, sf_dir), JACCARD_T)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_candidates(_docs(spark, sf_dir))
 
@@ -447,6 +451,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
+    "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
     "simhash": q_simhash,
@@ -495,6 +500,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "dedup_exact": oracles_ext.dedup_exact_sql(),
+    "dedup_near_keep": oracles_ext.near_dup_keep_sql(
+        JACCARD_T, dedup.KEEP_ITERS
+    ),
     "dedup_minhash_candidates": oracles_ext.minhash_candidates_sql(),
     "dedup_jaccard_pairs": oracles_ext.jaccard_pairs_sql(JACCARD_T),
     "simhash": oracles_ext.simhash_sql(),
