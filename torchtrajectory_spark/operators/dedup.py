@@ -184,7 +184,8 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
-    )
+    ).persist()  # tiny (pairs only); referenced once per propagation round
+    # — without this the whole Jaccard join subtree re-executes n_iters times
     labels = df.select(F.col(id_col).alias("doc_id"),
                        F.col(id_col).alias("label"))
     for _ in range(n_iters):
