@@ -262,7 +262,7 @@ def build_segment_postings(
     salt_factor: int = SALT_FACTOR,
     hot_fraction: float = HOT_TERM_DF_FRACTION,
     with_positions: bool = False,
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Compressed postings blocks for one doc segment — true SPIMI:
 
     1. **map**: each corpus partition tokenizes its docs and encodes its
@@ -621,11 +621,20 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
     for h in src_m["input_fingerprint"]:
         fp ^= int(h, 16)
     wm = wobs.get
+    if "sum_dl" in src_m:
+        sum_dl = int(src_m["sum_dl"].sum())
+    else:
+        # legacy source manifest without sum_dl: recompute from the copied
+        # doc_stats — writing 0 would make _corpus_scalars see the column
+        # present and derive avgdl=0 (degenerate BM25 scores)
+        sum_dl = int(
+            read_doc_stats(spark, src_dir).agg(F.sum("dl")).first()[0] or 0
+        )
     manifest_row = pd.DataFrame([{
         "segment": 0,
         "input_fingerprint": format(fp & (2**64 - 1), "016x"),
         "row_count": int(src_m["row_count"].sum()),
-        "sum_dl": int(src_m["sum_dl"].sum()) if "sum_dl" in src_m else 0,
+        "sum_dl": sum_dl,
         "block_count": int(wm["blocks"] or 0),
         "bytes": int(wm["bytes"] or 0),
         "duration_ms": int((time.monotonic() - t0) * 1000),
@@ -701,9 +710,17 @@ def _cached_read(spark: SparkSession, base: str, kind: str) -> DataFrame:
 
 
 def invalidate_index_cache(index_dir: str) -> None:
-    """Drop cached plans for an index (called after every segment commit)."""
+    """Drop cached plans for an index (called after every segment commit).
+
+    Scope: in-process only — a second Spark session querying a
+    streaming-updated index must reopen (or re-read) after new segments
+    commit; the cache key is (applicationId, kind, path) so other
+    sessions in THIS process are invalidated correctly.
+    """
     root = os.path.abspath(index_dir)
-    for k in [k for k in _PLAN_CACHE if k[2].startswith(root)]:
+    prefix = root + os.sep
+    for k in [k for k in _PLAN_CACHE
+              if k[2] == root or k[2].startswith(prefix)]:
         del _PLAN_CACHE[k]
 
 
