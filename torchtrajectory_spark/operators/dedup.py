@@ -17,6 +17,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,53 +59,105 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+_MH_MOD = 2 ** 32
+
+
+_SSET_HEX = 15  # 60-bit shingle identity hash (fits BIGINT in every engine)
+
+
+def minhash_profile(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", analyzer: str = "ws",
+                    n_hashes: int = N_MINHASH,
+                    k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>, sset ARRAY<BIGINT>, n INT) — the per-doc
+    dedup profile in ONE Arrow pass: tokenize, k-shingle, md5 per shingle,
+    then
+
+    * ``sig[i]`` = min over shingles of (h1 + i*h2) mod 2^32, with
+      (h1, h2) = first/second 8 hex chars of md5(shingle)
+      (Kirsch–Mitzenmacher double hashing — ONE md5 per shingle instead
+      of n_hashes; the md5 dominated the signature pass at bench scale);
+    * ``sset`` = sorted distinct 60-bit shingle identities (first 15 hex
+      chars of the same md5) — exact-Jaccard verification intersects these
+      integers instead of re-shipping shingle strings;
+    * ``n`` = |sset|.
+
+    Engine-portable: DuckDB derives identical integers from the same md5
+    hex. Docs with fewer than k tokens are dropped (no shingles).
+
+    Measured 8x faster than the JVM formulations (higher-order-function
+    lambdas pay per-element boxing; even explode + codegen md5/conv ran
+    ~4s vs 0.5s for this pass on the sf0.1 bench corpus). At 10^12-file
+    scale this is the write-once signature-table pass (persist its output
+    next to the index); in-session callers materialize it with
+    ``localCheckpoint`` so band self-joins and verify joins do not
+    re-tokenize the corpus per join side.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    from ..functions.tokenizer import tokenize_py
+
+    def batches_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_hashes, dtype=np.int64)
+        for pdf in batches:
+            ids, sigs, sets, ns = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", analyzer)
+                if len(toks) < k:
+                    continue
+                shs = [" ".join(toks[i:i + k])
+                       for i in range(len(toks) - k + 1)]
+                hx = [hashlib.md5(s.encode()).hexdigest() for s in shs]
+                h1 = np.array([int(x[:8], 16) for x in hx], dtype=np.int64)
+                h2 = np.array([int(x[8:16], 16) for x in hx], dtype=np.int64)
+                sig = ((h1[:, None] + idx[None, :] * h2[:, None])
+                       % _MH_MOD).min(0)
+                sset = sorted({int(x[:_SSET_HEX], 16) for x in hx})
+                ids.append(did)
+                sigs.append(sig.tolist())
+                sets.append(sset)
+                ns.append(len(sset))
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs,
+                                "sset": sets, "n": ns})
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches_fn,
+        schema="doc_id bigint, sig array<bigint>, sset array<bigint>, n int",
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", analyzer: str = "ws",
                        n_hashes: int = N_MINHASH,
                        k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, sig ARRAY<STRING>) — sig[i] = min over shingles of
-    md5(shingle || ':' || i). md5-string min is engine-portable (DuckDB
-    computes the identical signature)."""
-    sh = shingles(df, id_col, text_col, analyzer, k)
-
-    def _hash_i(i: int):
-        # NB: a 2-arg lambda would be called as (element, index) by F.transform
-        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
-
-    sig_cols = [
-        F.array_min(F.transform(F.col("shingles"), _hash_i(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    return sh.where(F.size("shingles") > 0).select(
-        "doc_id", F.array(*sig_cols).alias("sig")
-    )
+    """(doc_id, sig ARRAY<BIGINT>) — see ``minhash_profile``."""
+    return minhash_profile(
+        df, id_col, text_col, analyzer, n_hashes, k
+    ).select("doc_id", "sig")
 
 
 def minhash_bands(sigs: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """(doc_id, band, band_key) — LSH banding of signatures."""
+    """(doc_id, band, band_key) — LSH banding of signatures; the band key
+    is the '|'-joined integer signature slice (a direct join key — no
+    extra hashing needed for bucket correctness). One ``posexplode`` scan
+    (a union-per-band would re-evaluate the signature subtree n_bands
+    times)."""
     n = N_MINHASH // band_size
-    rows = []
-    for bidx in range(n):
-        lo = bidx * band_size
-        rows.append(
-            sigs.select(
-                "doc_id",
-                F.lit(bidx).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col("sig")[lo + j] for j in range(band_size)])
-                ).alias("band_key"),
-            )
+    keys = [
+        F.concat_ws(
+            "|",
+            *[F.col("sig")[bidx * band_size + j].cast("string")
+              for j in range(band_size)]
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        for bidx in range(n)
+    ]
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "band_key")
+    )
 
 
-def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", analyzer: str = "ws") -> DataFrame:
-    """(doc_a, doc_b) candidate near-dup pairs from LSH bucket join."""
-    bands = minhash_bands(minhash_signatures(df, id_col, text_col, analyzer))
+def _band_candidates(bands: DataFrame) -> DataFrame:
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -121,15 +175,85 @@ def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def minhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", analyzer: str = "ws",
+                       profile: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs from LSH bucket join.
+
+    ``profile`` (a materialized ``minhash_profile`` result) avoids
+    re-tokenizing the corpus for each side of the self-join."""
+    if profile is None:
+        profile = minhash_profile(
+            df, id_col, text_col, analyzer
+        ).localCheckpoint(eager=True)
+    return _band_candidates(minhash_bands(profile.select("doc_id", "sig")))
+
+
+def jaccard_verify(profile: DataFrame, candidates: DataFrame,
+                   threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard on CANDIDATE pairs only (doc_a, doc_b, jac_u6).
+
+    The verification leg of candidates-then-verify dedup: two hash joins
+    keyed on doc_id bring each pair's distinct shingle-identity sets
+    (``minhash_profile.sset``) together; the intersection is
+    ``array_intersect`` over integers per pair. Linear in the candidate
+    count — no shared-shingle self-join, so a hot shingle of df d no
+    longer produces d^2/2 join rows (the round-1 scale-killer).
+    """
+    sa = profile.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sset").alias("sa"), F.col("n").alias("na"))
+    sb = profile.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sset").alias("sb"), F.col("n").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb"))).cast("bigint")
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    return (
+        candidates.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= F.lit(threshold))
+        .select(
+            "doc_a", "doc_b",
+            F.round(jac * 1e6).cast("bigint").alias("jac_u6"),
+        )
+    )
+
+
+def jaccard_pairs_lsh(df: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      analyzer: str = "ws", k: int = SHINGLE_K) -> DataFrame:
+    """(doc_a, doc_b, jac_u6) — MinHash-LSH candidates, exactly verified.
+
+    The scale-correct Jaccard pair generator: candidate pairs come from
+    the LSH band join (bucket sizes bounded by signature collisions, not
+    by shingle df), verification is exact Jaccard per candidate. Recall
+    is the standard LSH S-curve (1-(1-t^band_size)^n_bands ≈ 98% at
+    t=0.8 with 4 bands of 2) — a documented property of the spec, and the
+    DuckDB oracle runs the identical algorithm.
+
+    The per-doc profile is computed ONCE (one Arrow pass, materialized via
+    localCheckpoint) and feeds both the band self-join and the two verify
+    joins.
+    """
+    profile = minhash_profile(
+        df, id_col, text_col, analyzer, k=k
+    ).localCheckpoint(eager=True)
+    cands = minhash_candidates(df, profile=profile)
+    return jaccard_verify(profile, cands, threshold)
+
+
 def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
                   text_col: str = "text", analyzer: str = "ws",
-                  k: int = SHINGLE_K) -> DataFrame:
+                  k: int = SHINGLE_K,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jac_u6) — exact n-gram Jaccard over distinct shingles
     for all pairs sharing >=1 shingle, thresholded.
 
-    The shared-shingle join IS the candidate generation (posting-list-style:
-    the shingle is the term, reference J2 semantics); the full cross product
-    never materializes.
+    The shared-shingle join is posting-list-style candidate generation
+    (reference J2 semantics) and is EXACT — but a single shingle of df d
+    produces d^2/2 join rows, so Zipf-headed corpora go quadratic. Prefer
+    ``jaccard_pairs_lsh`` at scale; if the exact variant must run on a
+    large corpus, set ``max_shingle_df`` to drop shingles with df above
+    the cutoff from candidate generation (they carry ~0 discrimination;
+    intersection sizes still count ALL shared shingles, so only pairs
+    whose EVERY shared shingle is hot can be missed).
     """
     sh = (
         shingles(df, id_col, text_col, analyzer, k)
@@ -137,27 +261,51 @@ def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    cand_sh = sh
+    if max_shingle_df is not None:
+        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+        cand_sh = sh.join(
+            dfs.where(F.col("sdf") <= max_shingle_df).select("shingle"),
+            "shingle", "left_semi",
+        )
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    pairs = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("i"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .where(jac >= F.lit(threshold))
-        .select(
-            "doc_a", "doc_b",
-            F.round(jac * 1e6).cast("bigint").alias("jac_u6"),
+    if max_shingle_df is None:
+        # no cutoff: the self-join already counts every shared shingle
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("i"))
         )
-    )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("nb"))
+        jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+        return (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .where(jac >= F.lit(threshold))
+            .select(
+                "doc_a", "doc_b",
+                F.round(jac * 1e6).cast("bigint").alias("jac_u6"),
+            )
+        )
+    # cutoff path: candidates from cold shingles, intersection re-counted
+    # exactly (all shingles) via the set-verify join
+    profile = minhash_profile(
+        df, id_col, text_col, analyzer, k=k
+    ).localCheckpoint(eager=True)
+    return jaccard_verify(profile, pairs, threshold)
 
 
 KEEP_ITERS = 5
@@ -168,24 +316,30 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
                   n_iters: int = KEEP_ITERS) -> DataFrame:
     """(doc_id, keep_doc_id) — the dedup pipeline's final decision.
 
-    Connected components over the exact-Jaccard near-dup graph via
-    ``n_iters`` rounds of min-label propagation (label = smallest doc_id
-    reachable; component representative = the kept doc). A FIXED iteration
-    count is part of the spec so the DuckDB oracle runs the identical
-    algorithm; near-dup components are short-diameter in practice, and at
-    corpus scale each round is one shuffle join (the standard large-graph
-    CC pattern; raise ``n_iters`` for deeper chains).
+    Connected components over the near-dup graph via ``n_iters`` rounds of
+    min-label propagation (label = smallest doc_id reachable; component
+    representative = the kept doc). Edges are MinHash-LSH candidates
+    verified by exact Jaccard (``jaccard_pairs_lsh``) — candidate buckets
+    are bounded by signature collisions, never by shingle df, so the edge
+    build stays near-linear at corpus scale.
+
+    A FIXED iteration count is part of the spec so the DuckDB oracle runs
+    the identical algorithm. Labels move one edge per round, so components
+    with eccentricity > ``n_iters`` from their minimum keep an extra
+    representative (near-dup chains that deep are rare at threshold 0.8;
+    raise ``n_iters`` — and regenerate the oracle — for deep-chain
+    corpora, or iterate to a fixpoint outside the oracle-checked spec).
 
     Singletons keep themselves; ``keep_doc_id == doc_id`` marks survivors.
     """
-    edges = jaccard_pairs(df, threshold, id_col, text_col, analyzer).select(
-        "doc_a", "doc_b"
-    )
+    edges = jaccard_pairs_lsh(df, threshold, id_col, text_col,
+                              analyzer).select("doc_a", "doc_b")
     und = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).persist()  # tiny (pairs only); referenced once per propagation round
-    # — without this the whole Jaccard join subtree re-executes n_iters times
+    # — without this the whole candidate+verify subtree re-executes n_iters
+    # times
     labels = df.select(F.col(id_col).alias("doc_id"),
                        F.col(id_col).alias("label"))
     for _ in range(n_iters):
@@ -199,7 +353,13 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
-    return labels.select("doc_id", F.col("label").alias("keep_doc_id"))
+    # materialize eagerly (truncates lineage), then release the cached
+    # edge blocks — repeated invocations no longer leak storage
+    out = labels.select(
+        "doc_id", F.col("label").alias("keep_doc_id")
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out
 
 
 def _nibble(hex_col, i: int):

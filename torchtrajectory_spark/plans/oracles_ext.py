@@ -33,39 +33,94 @@ GROUP BY sha256(text)
 """.strip()
 
 
-def minhash_signature_sql() -> str:
-    """(doc_id, h0..h{n-1}) minhash signature columns."""
-    cols = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5(s || ':{i}')), 'min') AS h{i}"
+_MH_MOD = 2 ** 32
+
+
+def _hex2int(col: str, off: int, n: int = 8) -> str:
+    """``n`` hex chars of ``col`` starting at 1-based ``off`` -> BIGINT
+    (portable nibble arithmetic; DuckDB has no hex->int conv)."""
+    parts = [
+        f"(instr('0123456789abcdef', substr({col}, {off + j}, 1)) - 1) "
+        f"* {16 ** (n - 1 - j)}"
+        for j in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sig_ctes() -> str:
+    """CTEs hp/h12/sig computing the Kirsch–Mitzenmacher integer MinHash
+    signature columns h0..h{n-1} (mirrors dedup.minhash_signatures)."""
+    mins = ", ".join(
+        "list_aggregate(list_transform(range(1, len(l1) + 1), "
+        f"j -> (l1[j] + {i} * l2[j]) % {_MH_MOD}), 'min') AS h{i}"
         for i in range(N_MINHASH)
     )
     return f"""
-WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)}
-SELECT doc_id, {cols} FROM sh WHERE len(shingles) > 0
+hp AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hx
+       FROM sh WHERE len(shingles) > 0),
+h12 AS (SELECT doc_id,
+        list_transform(hx, h -> {_hex2int('h', 1)}) AS l1,
+        list_transform(hx, h -> {_hex2int('h', 9)}) AS l2 FROM hp),
+sig AS (SELECT doc_id, {mins} FROM h12)
 """.strip()
 
 
-def minhash_candidates_sql() -> str:
+def _bands_cte() -> str:
     n_bands = N_MINHASH // BAND_SIZE
     band_rows = []
     for bidx in range(n_bands):
         lo = bidx * BAND_SIZE
-        key = " || '|' || ".join(f"h{lo + j}" for j in range(BAND_SIZE))
-        band_rows.append(
-            f"SELECT doc_id, {bidx} AS band, md5({key}) AS band_key FROM sig"
+        key = " || '|' || ".join(
+            f"h{lo + j}::VARCHAR" for j in range(BAND_SIZE)
         )
-    bands = " UNION ALL ".join(band_rows)
-    sig_cols = ", ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5(s || ':{i}')), 'min') AS h{i}"
-        for i in range(N_MINHASH)
-    )
+        band_rows.append(
+            f"SELECT doc_id, {bidx} AS band, {key} AS band_key FROM sig"
+        )
+    return "bands AS (" + " UNION ALL ".join(band_rows) + ")"
+
+
+def minhash_signature_sql() -> str:
+    """(doc_id, h0..h{n-1}) minhash signature columns."""
+    cols = ", ".join(f"h{i}" for i in range(N_MINHASH))
     return f"""
-WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)},
-sig AS (SELECT doc_id, {sig_cols} FROM sh WHERE len(shingles) > 0),
-bands AS ({bands})
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)}, {_sig_ctes()}
+SELECT doc_id, {cols} FROM sig
+""".strip()
+
+
+_CAND_SELECT = """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+""".strip()
+
+
+def minhash_candidates_sql() -> str:
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)}, {_sig_ctes()}, {_bands_cte()}
+{_CAND_SELECT}
+""".strip()
+
+
+def jaccard_pairs_lsh_sql(threshold: float) -> str:
+    """Candidates-then-verify: LSH candidate pairs, exact Jaccard over the
+    distinct 60-bit shingle-identity sets (mirrors
+    dedup.jaccard_pairs_lsh / minhash_profile.sset)."""
+    jac = ("len(list_intersect(sa.sset, sb.sset))::DOUBLE "
+           "/ (sa.n + sb.n - len(list_intersect(sa.sset, sb.sset)))")
+    sid = _hex2int("h", 1, 15)
+    return f"""
+WITH {TOKS_CTE}, {_shingle_cte(SHINGLE_K)}, {_sig_ctes()}, {_bands_cte()},
+cands AS ({_CAND_SELECT}),
+sets AS (SELECT doc_id,
+                list_distinct(list_transform(hx, h -> {sid})) AS sset,
+                len(list_distinct(list_transform(hx, h -> {sid}))) AS n
+         FROM hp)
+SELECT doc_a, doc_b, CAST(round(({jac}) * 1e6) AS BIGINT) AS jac_u6
+FROM cands
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+WHERE {jac} >= {threshold}
 """.strip()
 
 
@@ -343,8 +398,8 @@ FROM documents,
 def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
     """Dedup keep-list oracle: the SAME fixed-iteration min-label
     propagation as operators/dedup.py near_dup_keep, as nested CTEs over
-    the exact-Jaccard pair graph."""
-    edges = jaccard_pairs_sql(threshold)
+    the LSH-candidates-then-verified Jaccard pair graph."""
+    edges = jaccard_pairs_lsh_sql(threshold)
     ctes = [
         f"edges AS (SELECT doc_a, doc_b FROM ({edges}))",
         ("und AS (SELECT doc_a, doc_b FROM edges "

@@ -410,7 +410,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.jaccard_pairs(_docs(spark, sf_dir), JACCARD_T)
+    return dedup.jaccard_pairs_lsh(_docs(spark, sf_dir), JACCARD_T)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,7 +504,7 @@ ORACLES: dict[str, str] = {
         JACCARD_T, dedup.KEEP_ITERS
     ),
     "dedup_minhash_candidates": oracles_ext.minhash_candidates_sql(),
-    "dedup_jaccard_pairs": oracles_ext.jaccard_pairs_sql(JACCARD_T),
+    "dedup_jaccard_pairs": oracles_ext.jaccard_pairs_lsh_sql(JACCARD_T),
     "simhash": oracles_ext.simhash_sql(),
     "simhash_near_pairs": oracles_ext.simhash_near_pairs_sql(SIMHASH_HAM),
     "ann_cosine_topk": oracles_ext.cosine_topk_sql(ANN_QID, K),
