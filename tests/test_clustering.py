@@ -28,15 +28,27 @@ def emb_np(spark):
 
 
 def numpy_kmeans(ids, x, k, n_iter):
+    """Quantized fixed-point Lloyd reference (mirrors clustering.kmeans:
+    int64 grid, floor(s/n + 0.5) centroid updates, ties to lowest id)."""
+    import math
+
+    xq = clustering.quant_np(x)
     order = np.argsort(ids)
-    cents = x[order[:k]].copy()
-    assign = np.argmin(((x[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
+    cents = xq[order[:k]].copy()
+    assign = np.argmin(((xq[:, None, :] - cents[None]) ** 2).sum(-1), axis=1)
     for _ in range(n_iter):
+        new = cents.copy()
         for c in range(k):
             m = assign == c
             if m.any():
-                cents[c] = x[m].mean(axis=0)
-        assign = np.argmin(((x[:, None, :] - cents[None]) ** 2).sum(-1),
+                s = xq[m].sum(axis=0)
+                n = int(m.sum())
+                new[c] = np.array(
+                    [math.floor(float(v) / n + 0.5) for v in s],
+                    dtype=np.int64,
+                )
+        cents = new
+        assign = np.argmin(((xq[:, None, :] - cents[None]) ** 2).sum(-1),
                            axis=1)
     return assign, cents
 
@@ -48,7 +60,7 @@ def test_kmeans_matches_numpy(spark, emb_np):
     exp_assign, exp_cents = numpy_kmeans(ids, x, K, ITERS)
     exp = {int(i): int(c) for i, c in zip(ids, exp_assign)}
     assert got == exp
-    assert np.allclose(cents, exp_cents, atol=1e-9)
+    assert (cents == exp_cents).all()
 
 
 def test_cluster_metrics_consistent(spark, emb_np):
@@ -57,10 +69,11 @@ def test_cluster_metrics_consistent(spark, emb_np):
     m = clustering.cluster_metrics(emb, assigned, cents).collect()
     assert sum(r["n"] for r in m) == len(ids)
     exp_assign, exp_cents = numpy_kmeans(ids, x, K, ITERS)
+    xq = clustering.quant_np(x)
     for r in m:
         mask = exp_assign == r["cluster"]
-        exp_sum = ((x[mask] - exp_cents[r["cluster"]]) ** 2).sum()
-        assert r["sum_dist2_u6"] == pytest.approx(round(exp_sum * 1e6), abs=2)
+        exp_sum = int(((xq[mask] - exp_cents[r["cluster"]]) ** 2).sum())
+        assert r["sum_dist2_q"] == exp_sum
 
 
 def test_assign_fixed_matches_kmeans_round0(spark, emb_np):

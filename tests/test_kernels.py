@@ -126,6 +126,41 @@ def test_lcss_band_limits_matches():
 
 
 @pytest.mark.parametrize("measure", kernels.MEASURES)
+def test_topk_similar_pruned_matches_brute(spark, measure):
+    """Bound pruning must be invisible: pruned == brute-force scan."""
+    from torchtrajectory_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    query = "spark sql window join group sort shuffle partition"
+    seq = kernels.seq_table(docs).localCheckpoint(eager=True)
+    got = kernels.topk_similar_pruned(seq, query, 10, measure).toPandas()
+    exp = kernels.topk_similar(docs, query, 10, measure).toPandas()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  exp.reset_index(drop=True))
+
+
+def test_bounds_are_valid_bounds(spark):
+    """Every doc's bound must bound its exact score on the right side."""
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    query = "spark sql window join group sort shuffle partition"
+    q = kernels.seq_of(query)
+    pdf = docs.select("doc_id", "text").limit(100).toPandas()
+    for measure in kernels.MEASURES:
+        kern = kernels.KERNELS[measure]
+        for t in pdf["text"]:
+            a = kernels.seq_of(t)
+            bound = kernels._bound_np(a, q, measure)
+            score = kern(a, q)
+            if measure == "lcss":
+                assert bound >= score - 1e-9, (measure, bound, score)
+            else:
+                assert bound <= score + 1e-9, (measure, bound, score)
+
+
+@pytest.mark.parametrize("measure", kernels.MEASURES)
 def test_topk_similar_matches_bruteforce(spark, measure):
     from torchtrajectory_spark.sources.tables import load_table
 

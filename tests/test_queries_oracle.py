@@ -13,11 +13,7 @@ from torchtrajectory_spark.plans.queries import ORACLES, QUERIES
 # The ONLY queries allowed to ship without a DuckDB oracle. Any new query
 # missing from ORACLES that is not on this list is a test failure — the
 # former blanket rows-only fallback let oracle-less queries slip in silently.
-KNOWN_ORACLE_LESS: frozenset[str] = frozenset({
-    "sim_dtw_topk", "sim_lcss_topk", "sim_edr_topk", "sim_erp_topk",
-    "sim_euclid_topk", "sim_hausdorff_topk", "sim_frechet_topk",
-    "cluster_kmeans", "cluster_metrics",
-})
+KNOWN_ORACLE_LESS: frozenset[str] = frozenset()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

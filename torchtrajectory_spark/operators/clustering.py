@@ -29,6 +29,8 @@ k x d re-aggregation, and skew is impossible by construction (keys are
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -94,6 +96,64 @@ def _assign_np(emb: DataFrame, cents: np.ndarray, id_col: str,
     )
 
 
+# ---------------------- fixed-point (oracle-exact) k-means ----------------
+#
+# Lloyd's update sums floats over members, and cross-partition float sums
+# are order-dependent — that made the iterative path untestable against a
+# SQL oracle. The spec'd fix: quantize every vector to the integer grid
+# x_q = floor(x * QSCALE + 0.5) ONCE, keep centroids on the same grid
+# (c_q = floor(sum(x_q)/n + 0.5)), and do every distance and every update
+# in int64. Integer sums are associative -> identical results at any
+# partitioning, in numpy, and in DuckDB; assignments are exact argmins.
+# At QSCALE=1e4 the grid error is 5e-5 per dim — far below the cluster
+# separation of any corpus this runs on, and the quantization IS the spec
+# (not an approximation of some float truth).
+
+QSCALE = 10_000
+
+
+def quant_np(x: np.ndarray) -> np.ndarray:
+    """float (n, d) -> int64 grid (floor(x*S + 0.5); IEEE-identical in
+    numpy, Spark SQL and DuckDB)."""
+    return np.floor(x.astype(np.float64) * QSCALE + 0.5).astype(np.int64)
+
+
+def quantized_vecs(emb: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, q ARRAY<BIGINT>) — JVM-side quantization (codegen)."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)),
+        ).alias("q"),
+    )
+
+
+def init_centroids_q(emb: DataFrame, k: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Quantized deterministic seeding: the k lowest-id vectors."""
+    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    return quant_np(np.array([r[0] for r in rows], dtype=np.float64))
+
+
+def _assign_q(emb: DataFrame, cents_q: np.ndarray, id_col: str,
+              vec_col: str) -> DataFrame:
+    """Integer-exact assignment (ties -> lowest centroid id, np.argmin)."""
+    c = cents_q.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(v: pd.Series) -> pd.Series:
+        xq = quant_np(np.stack(v.to_numpy()))
+        d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        nearest(F.col(vec_col)).alias("cluster"),
+    )
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -101,45 +161,51 @@ def kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> tuple[DataFrame, np.ndarray]:
-    """Lloyd's k-means over an embedding column.
+    """Fixed-point Lloyd's k-means over an embedding column.
 
-    Returns (assignments(vec_id, cluster), centroids k x d). Empty clusters
-    keep their previous centroid (deterministic).
+    Returns (assignments(vec_id, cluster), QUANTIZED centroids k x d
+    int64). Empty clusters keep their previous centroid (deterministic).
+    The centroid update shuffles only (cluster, dim) integer partial sums
+    (bounded cardinality — skew-free by construction); everything else is
+    a broadcast-assignment map pass.
     """
-    cents = init_centroids(emb, k, id_col, vec_col)
-    assigned = _assign_np(emb, cents, id_col, vec_col)
-    vecs = emb.select(F.col(id_col).alias("vec_id"),
-                      F.col(vec_col).alias("_vec"))
+    cents = init_centroids_q(emb, k, id_col, vec_col)
+    assigned = _assign_q(emb, cents, id_col, vec_col)
+    qvecs = quantized_vecs(emb, id_col, vec_col)
     for _ in range(n_iter):
         exploded = (
-            assigned.join(vecs, "vec_id")
-            .select("cluster", F.posexplode("_vec").alias("dim", "x"))
+            assigned.join(qvecs, "vec_id")
+            .select("cluster", F.posexplode("q").alias("dim", "x"))
         )
         rows = (
             exploded.groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         new = cents.copy()
         for r in rows:
-            new[r["cluster"], r["dim"]] = r["m"]
+            new[r["cluster"], r["dim"]] = math.floor(
+                float(r["s"]) / float(r["n"]) + 0.5
+            )
         cents = new
-        assigned = _assign_np(emb, cents, id_col, vec_col)
+        assigned = _assign_q(emb, cents, id_col, vec_col)
     return assigned, cents
 
 
 def cluster_metrics(emb: DataFrame, assigned: DataFrame,
-                    cents: np.ndarray, id_col: str = "vec_id",
+                    cents_q: np.ndarray, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """(cluster, n, sum_dist2_u6) — the per-cluster sum-of-distances
-    objective (``ClusterPath.getSumDistance:148-160`` A7 analog)."""
-    c = cents.copy()
+    """(cluster, n, sum_dist2_q) — the per-cluster sum-of-distances
+    objective (``ClusterPath.getSumDistance:148-160`` A7 analog) on the
+    quantized grid: int64 throughout, so the sum is order-independent
+    and the DuckDB oracle matches exactly."""
+    c = cents_q.copy()
 
-    @F.pandas_udf(T.DoubleType())
+    @F.pandas_udf(T.LongType())
     def dist_to(v: pd.Series, cl: pd.Series) -> pd.Series:
-        x = np.stack(v.to_numpy()).astype(np.float64)
+        xq = quant_np(np.stack(v.to_numpy()))
         cc = c[cl.to_numpy()]
-        return pd.Series(((x - cc) ** 2).sum(-1))
+        return pd.Series(((xq - cc) ** 2).sum(-1))
 
     vecs = emb.select(F.col(id_col).alias("vec_id"),
                       F.col(vec_col).alias("_vec"))
@@ -148,7 +214,7 @@ def cluster_metrics(emb: DataFrame, assigned: DataFrame,
     )
     return joined.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("d2") * 1e6).cast("bigint").alias("sum_dist2_u6"),
+        F.sum("d2").alias("sum_dist2_q"),
     )
 
 

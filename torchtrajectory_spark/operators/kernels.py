@@ -6,20 +6,24 @@ point sequences (``queryEngine/similarity/SimilarityFunction.java``: LCSS
 discrete Fréchet :274-300, lockstep Euclidean :50-58) dispatched from
 ``LEVI.findTopK`` (``base/spatialIndex/LEVI.java:95-112``).
 
-Full-text re-expression: a document is a sequence of scalar token values
-``v_i = (crc32(token_i) % 1000) / 1000`` (the positional/value structure of
-a trajectory), distance = |x - y|, epsilon-match for LCSS/EDR mirrors the
-reference's 50 m epsilon (``LEVI.java:30``). Kernels run inside
-``mapInPandas`` (Arrow batches, numpy DP vectorized along one axis); the
-global top-k is Spark's TakeOrderedAndProject.
+Full-text re-expression: a document is the sequence of scalar token values
+``v_i = (int(md5(token_i)[:4], 16) % 1000) / 1000`` over its first
+``SEQ_PREFIX`` tokens (the positional/value structure of a trajectory;
+the FIXED prefix is part of the query spec — it makes the DP small enough
+that a DuckDB unrolled-DP oracle checks every kernel exactly), distance =
+|x - y|, epsilon-match for LCSS/EDR mirrors the reference's 50 m epsilon
+(``LEVI.java:30``). The md5-derived value is engine-portable (DuckDB
+derives the identical integer by nibble arithmetic over the same hex).
 
-These are NOT SQL-expressible (iterative DP) — driver records a rows-only
-check; exactness is asserted in tests against pure-Python references.
+Kernels run inside ``mapInPandas`` (Arrow batches); every floating-point
+operation is sequenced exactly as the generated oracle SQL sequences it,
+so scores are bit-identical across engines. The global top-k is Spark's
+TakeOrderedAndProject.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -31,19 +35,26 @@ from ..functions.tokenizer import tokenize_py
 
 EPS = 0.05        # epsilon-match for LCSS/EDR (analog of LEVI.java:30)
 ERP_GAP = 0.0     # ERP gap value g (analog SimilarityFunction.java:97-136)
+SEQ_PREFIX = 16   # fixed token prefix per document (query spec)
 MEASURES = ("dtw", "lcss", "edr", "erp", "euclid", "hausdorff", "frechet")
 # higher-is-better measures (rest are distances: lower is better)
 _SIM_MEASURES = {"lcss"}
 
 
-def seq_of(text: str, analyzer: str = "ws") -> np.ndarray:
+def val_of(token: str) -> float:
+    """Portable token value: first 4 hex chars of md5 mod 1000, scaled."""
+    h = hashlib.md5(token.encode()).hexdigest()
+    return (int(h[:4], 16) % 1000) / 1000.0
+
+
+def seq_of(text: str, analyzer: str = "ws",
+           prefix: int | None = SEQ_PREFIX) -> np.ndarray:
     toks = tokenize_py(text or "", analyzer)
+    if prefix is not None:
+        toks = toks[:prefix]
     if not toks:
         return np.zeros(1, dtype=np.float64)
-    return np.array(
-        [(zlib.crc32(t.encode()) % 1000) / 1000.0 for t in toks],
-        dtype=np.float64,
-    )
+    return np.array([val_of(t) for t in toks], dtype=np.float64)
 
 
 # ----------------------- numpy DP kernels (vectorized rows) ---------------
@@ -120,11 +131,17 @@ def erp(a: np.ndarray, b: np.ndarray, g: float = ERP_GAP) -> float:
 
 def euclid(a: np.ndarray, b: np.ndarray) -> float:
     """Lockstep Euclidean over the common prefix (reference :50-58 requires
-    equal length; we truncate to min length, documented divergence)."""
+    equal length; we truncate to min length, documented divergence).
+
+    Sequential left-to-right accumulation — the oracle SQL adds the same
+    terms in the same order (numpy's pairwise summation would differ in
+    the last ulp and break bit-identity)."""
     n = min(len(a), len(b))
-    if n == 0:
-        return 0.0
-    return float(np.sqrt(np.sum((a[:n] - b[:n]) ** 2)))
+    acc = 0.0
+    for i in range(n):
+        d = float(a[i]) - float(b[i])
+        acc += d * d
+    return float(np.sqrt(acc))
 
 
 def hausdorff(a: np.ndarray, b: np.ndarray) -> float:
@@ -232,5 +249,182 @@ def topk_similar(
         .limit(k)
         .select(
             "doc_id", F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6")
+        )
+    )
+
+
+# ------------------- index-assisted pruned top-k (LEVI analog) ------------
+#
+# The reference never brute-forces its measure suite: LEVI generates
+# candidates from prebuilt structures, bounds them, and early-terminates
+# (``LEVI.java:115-132`` match-count UB, ``:251-392`` round-capped
+# deepening with the running k-th best as the theta threshold). The
+# re-expression below:
+#
+# * ``seq_table`` — the prebuilt doc -> value-sequence side table (the
+#   ``trajectory_edge.txt`` mapped-trajectory analog): built once per
+#   corpus, queries never re-tokenize documents.
+# * ``seq_bounds`` — one vectorized numpy pass over the side table
+#   computing a provable per-doc bound for the measure (UB for lcss,
+#   LB for the distances; see each bound's derivation inline).
+# * ``topk_similar_pruned`` — round 1 scores the best-bounded seed set
+#   exactly, fixing theta = running k-th best; round 2 scores only docs
+#   whose bound says they could still enter (bound <= theta / >= theta)
+#   — the T4 theta-test over a 2-round T6 deepening loop. Exact: every
+#   final top-k member's bound passes the theta test, so results are
+#   identical to the brute-force scan (asserted in tests).
+
+
+def seq_table(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text", analyzer: str = "ws") -> DataFrame:
+    """(doc_id, vals ARRAY<DOUBLE>) — the fixed-prefix value sequences."""
+
+    def conv(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col],
+                "vals": [seq_of(t, analyzer).tolist()
+                         for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        conv, schema="doc_id bigint, vals array<double>"
+    )
+
+
+def _bound_np(vals: np.ndarray, q: np.ndarray, measure: str) -> float:
+    """Provable bound for one doc (UB for lcss, LB otherwise).
+
+    * lcss  UB: LCSS pairs each matched query point with a distinct doc
+      point, so LCSS <= min(#q-points with any eps-match, #doc-points
+      with any eps-match, n, m).
+    * dtw   LB: every a_i (and every b_j) appears in >=1 warping pair of
+      cost >= its nearest-counterpart distance, so DTW >= max(sum_i
+      min_j |a_i-b_j|, sum_j min_i |a_i-b_j|).
+    * edr   LB: each unmatched-at-eps a_i (resp. b_j) consumes >=1 edit
+      op, and |n-m| ops are unavoidable: LB = max(|n-m|, unmatched_a,
+      unmatched_b).
+    * erp   LB (g=0): the classic ERP bound |sum(a) - sum(b)|.
+    * frechet LB: a coupling covers every point, so discrete Frechet >=
+      Hausdorff — computed exactly (cheap) and used as the bound.
+    * euclid / hausdorff: the exact score IS the bound (both are cheap
+      closed forms; "pruning" degenerates to scoring, which is correct
+      and costs nothing extra).
+    """
+    d = np.abs(vals[:, None] - q[None, :])
+    n, m = len(vals), len(q)
+    if measure == "lcss":
+        match = d <= EPS
+        return float(min(match.any(axis=1).sum(),
+                         match.any(axis=0).sum(), n, m))
+    if measure == "dtw":
+        return float(max(d.min(axis=1).sum(), d.min(axis=0).sum()))
+    if measure == "edr":
+        unmatched = d > EPS
+        return float(max(abs(n - m),
+                         unmatched.all(axis=1).sum(),
+                         unmatched.all(axis=0).sum()))
+    if measure == "erp":
+        return float(abs((vals - ERP_GAP).sum() - (q - ERP_GAP).sum()))
+    if measure in ("hausdorff", "frechet"):
+        return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+    if measure == "euclid":
+        nc = min(n, m)
+        acc = 0.0
+        for i in range(nc):
+            dd = float(vals[i]) - float(q[i])
+            acc += dd * dd
+        return float(np.sqrt(acc))
+    raise ValueError(measure)
+
+
+def seq_bounds(seq_tbl: DataFrame, query_text: str, measure: str,
+               analyzer: str = "ws") -> DataFrame:
+    """(doc_id, bound) for every doc in the side table."""
+    qseq = seq_of(query_text, analyzer)
+
+    def bounds(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "bound": [
+                    _bound_np(np.asarray(v, dtype=np.float64), qseq, measure)
+                    for v in pdf["vals"]
+                ],
+            })
+
+    return seq_tbl.mapInPandas(bounds, schema="doc_id bigint, bound double")
+
+
+def _score_seqs(seq_tbl: DataFrame, ids: DataFrame, query_text: str,
+                measure: str, analyzer: str = "ws") -> DataFrame:
+    """(doc_id, score) — exact DP for the docs in ``ids`` only."""
+    qseq = seq_of(query_text, analyzer)
+    kern = KERNELS[measure]
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "score": np.asarray(
+                    [kern(np.asarray(v, dtype=np.float64), qseq)
+                     for v in pdf["vals"]], dtype=np.float64),
+            })
+
+    return seq_tbl.join(ids.select("doc_id"), "doc_id", "left_semi") \
+        .mapInPandas(score, schema="doc_id bigint, score double")
+
+
+def topk_similar_pruned(
+    seq_tbl: DataFrame,
+    query_text: str,
+    k: int,
+    measure: str,
+    analyzer: str = "ws",
+    seed_factor: int = 4,
+) -> DataFrame:
+    """Exact top-k over the prebuilt sequence table with bound pruning.
+
+    Rank-identical to ``topk_similar`` on the same corpus (the bound
+    derivations guarantee every final top-k member survives the theta
+    test; ties at theta are kept because the survivor filter is
+    non-strict). Returns (doc_id, score_u6).
+    """
+    if measure not in KERNELS:
+        raise ValueError(f"unknown measure {measure!r}")
+    higher_better = measure in _SIM_MEASURES
+    bounds = seq_bounds(seq_tbl, query_text, measure, analyzer) \
+        .localCheckpoint(eager=True)
+
+    b_order = (
+        [F.col("bound").desc(), F.col("doc_id").asc()]
+        if higher_better
+        else [F.col("bound").asc(), F.col("doc_id").asc()]
+    )
+    seeds = bounds.orderBy(*b_order).limit(max(seed_factor * k, 64))
+    s_order = (
+        [F.col("score").desc(), F.col("doc_id").asc()]
+        if higher_better
+        else [F.col("score").asc(), F.col("doc_id").asc()]
+    )
+    seed_scores = (
+        _score_seqs(seq_tbl, seeds, query_text, measure, analyzer)
+        .orderBy(*s_order).limit(k).collect()
+    )
+    if len(seed_scores) < k:
+        # fewer docs than k: no pruning possible, score everything
+        survivors = bounds
+    else:
+        theta = seed_scores[-1]["score"]
+        keep = (F.col("bound") >= theta) if higher_better \
+            else (F.col("bound") <= theta)
+        survivors = bounds.where(keep)
+    final = _score_seqs(seq_tbl, survivors, query_text, measure, analyzer)
+    return (
+        final.orderBy(*s_order)
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
         )
     )

@@ -176,9 +176,13 @@ SELECT doc_id, simhash FROM simh
 
 
 def simhash_near_pairs_sql(max_hamming: int) -> str:
+    from ..operators.dedup import SIMHASH_CHUNK_BITS, SIMHASH_CHUNKS
+
     chunk_rows = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS chunk, (simhash // {2 ** (c * 8)}) % 256 AS ck FROM simh"
-        for c in range(4)
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash // {2 ** (c * SIMHASH_CHUNK_BITS)}) "
+        f"% {2 ** SIMHASH_CHUNK_BITS} AS ck FROM simh"
+        for c in range(SIMHASH_CHUNKS)
     )
     return f"""
 WITH {TOKS_CTE}, {_simhash_expr_sql()},
@@ -345,6 +349,66 @@ FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) rn
       FROM d)
 WHERE rn = 1
 """.strip()
+
+
+def _kmeans_ctes(k: int, iters: int, d: int, scale: int) -> str:
+    """CTE chain for ``iters`` unrolled fixed-point Lloyd iterations
+    (mirrors clustering.kmeans: int64 grid, floor(s/n + 0.5) updates,
+    ties to the lowest centroid id, empty clusters keep their centroid)."""
+    d2 = ("list_sum(list_transform(range(1, %d), "
+          "i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i])))" % (d + 1))
+    ctes = [
+        (f"xq AS (SELECT vec_id, list_transform(embedding, "
+         f"x -> CAST(floor(x::DOUBLE * {scale} + 0.5) AS BIGINT)) AS v "
+         f"FROM embeddings)"),
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM xq WHERE vec_id < {k})",
+    ]
+
+    def assign(t: int) -> str:
+        return (
+            f"a{t} AS (SELECT vec_id, CAST(cid AS INT) AS cluster FROM ("
+            f"SELECT vec_id, cid, row_number() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM "
+            f"(SELECT x.vec_id, c.cid, {d2} AS d2 "
+            f"FROM xq x CROSS JOIN c{t} c)) WHERE rn = 1)"
+        )
+
+    sums = ", ".join(f"sum(v[{i}]) AS s{i}" for i in range(1, d + 1))
+    upd = ", ".join(
+        f"CAST(floor(s{i}::DOUBLE / n + 0.5) AS BIGINT)"
+        for i in range(1, d + 1)
+    )
+    ctes.append(assign(0))
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"u{t} AS (SELECT cluster, count(*) AS n, {sums} "
+            f"FROM a{t - 1} JOIN xq USING (vec_id) GROUP BY cluster)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT c.cid, CASE WHEN u.cluster IS NULL "
+            f"THEN c.cv ELSE [{upd}] END AS cv "
+            f"FROM c{t - 1} c LEFT JOIN u{t} u ON u.cluster = c.cid)"
+        )
+        ctes.append(assign(t))
+    return ",\n".join(ctes)
+
+
+def cluster_kmeans_sql(k: int, iters: int, d: int, scale: int) -> str:
+    return (f"WITH {_kmeans_ctes(k, iters, d, scale)}\n"
+            f"SELECT vec_id, cluster FROM a{iters}")
+
+
+def cluster_metrics_sql(k: int, iters: int, d: int, scale: int) -> str:
+    d2 = ("list_sum(list_transform(range(1, %d), "
+          "i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i])))" % (d + 1))
+    return (
+        f"WITH {_kmeans_ctes(k, iters, d, scale)}\n"
+        f"SELECT cluster, count(*) AS n, "
+        f"CAST(sum(d2) AS BIGINT) AS sum_dist2_q FROM "
+        f"(SELECT a.cluster, {d2} AS d2 FROM a{iters} a "
+        f"JOIN xq x USING (vec_id) JOIN c{iters} c ON c.cid = a.cluster) "
+        f"GROUP BY cluster"
+    )
 
 
 def cluster_top_terms_sql(n: int) -> str:

@@ -33,7 +33,7 @@ from ..operators.index import build_index, postings_flat
 from ..operators.stats import term_freqs, tokenized
 from ..operators.wand import topk_bm25_index, topk_bm25_index_filtered
 from ..sources.tables import load_table
-from . import oracles, oracles_ext
+from . import oracles, oracles_ext, oracles_sim
 
 # ---- fixed reference query sets (deterministic; documents vocabulary) ----
 Q_TOPK = ["spark", "join", "window"]
@@ -284,9 +284,25 @@ def q_topk_bm25_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_seq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (or reuse) the doc -> value-sequence side table — the
+    mapped-trajectory store (``trajectory_edge.txt`` analog) the pruned
+    kernel queries run against instead of re-tokenizing the corpus."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"tts_seqtab_{tag}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.isfile(done):
+        kernels.seq_table(_docs(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 def _q_sim(measure: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return kernels.topk_similar(_docs(spark, sf_dir), SIM_QUERY, K, measure)
+        return kernels.topk_similar_pruned(
+            ensure_seq_table(spark, sf_dir), SIM_QUERY, K, measure
+        )
 
     return q
 
@@ -360,6 +376,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustering (k-paths module analog)
 KMEANS_K = 8
 KMEANS_ITERS = 3
+KMEANS_D = 64  # embedding dim of the driver test tables
 TOP_TERMS_N = 5
 
 
@@ -524,15 +541,23 @@ ORACLES: dict[str, str] = {
         Q_TOPK, K, FILTER_PRED_SQL
     ),
     "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
-    # sim_*_topk: iterative DP kernels, not SQL-expressible (SURVEY.md §2.8)
-    # — driver records rows-only; exactness asserted in tests/test_kernels.py.
+    # sim_*_topk: unrolled-DP oracles over the fixed SEQ_PREFIX prefix
+    # (oracles_sim generates one CTE per DP row; bit-identical sequencing)
+    **{f"sim_{m}_topk": oracles_sim.SIM_SQL[m](SIM_QUERY, K)
+       for m in kernels.MEASURES},
     "phrase_bigram": oracles.phrase_count_sql(PHRASE_2),
     "phrase_trigram": oracles.phrase_count_sql(PHRASE_3),
     "phrase_bigram_indexed": oracles.phrase_count_sql(PHRASE_2),
     "phrase_trigram_indexed": oracles.phrase_count_sql(PHRASE_3),
     "cluster_assign": oracles_ext.cluster_assign_sql(KMEANS_K),
-    # cluster_kmeans / cluster_metrics: iterative (driver-loop) algorithm,
-    # not SQL-expressible — rows-only; numpy parity in tests/test_clustering.
+    # cluster_kmeans / cluster_metrics: fixed-point Lloyd spec — the
+    # oracle unrolls the identical 3 iterations in integer arithmetic
+    "cluster_kmeans": oracles_ext.cluster_kmeans_sql(
+        KMEANS_K, KMEANS_ITERS, KMEANS_D, clustering.QSCALE
+    ),
+    "cluster_metrics": oracles_ext.cluster_metrics_sql(
+        KMEANS_K, KMEANS_ITERS, KMEANS_D, clustering.QSCALE
+    ),
     "cluster_top_terms": oracles_ext.cluster_top_terms_sql(TOP_TERMS_N),
     "media_features": oracles_ext.media_features_sql(),
     "media_frame_sample": oracles_ext.frame_sample_sql(
