@@ -34,8 +34,6 @@ from .operators.index import (
     read_manifest,
 )
 from .operators.wand import (
-    IndexMeta,
-    open_index_meta,
     topk_bm25_index,
     topk_bm25_index_filtered,
 )
@@ -48,7 +46,6 @@ class Engine:
     k1: float = BM25_K1
     b: float = BM25_B
     _buckets: int = field(default=0, repr=False)
-    _meta: IndexMeta | None = field(default=None, repr=False)
 
     # ------------------------------------------------- construction ----
     @classmethod
@@ -75,7 +72,12 @@ class Engine:
     def find_topk(self, terms: list[str], k: int = DEFAULT_K,
                   where: Column | None = None) -> DataFrame:
         """Top-k BM25 (findTopK). ``where`` is a metadata predicate over
-        the doc_stats columns — the in-loop constraint (F2)."""
+        the doc_stats columns — the in-loop constraint (F2).
+
+        Term statistics are fetched per QUERY (``query_term_meta``: a
+        bucket-pruned dictionary lookup for just the query terms) — never
+        the full dictionary, which is unbounded driver state at the
+        10^12-file / hash-bounded-vocabulary posture (SURVEY.md §7.6)."""
         if where is not None:
             return topk_bm25_index_filtered(
                 self.spark, self.index_dir, terms, k, where,
@@ -83,8 +85,7 @@ class Engine:
             )
         return topk_bm25_index(
             self.spark, self.index_dir, terms, k,
-            meta=self._open_meta(), buckets=self._buckets,
-            k1=self.k1, b=self.b,
+            buckets=self._buckets, k1=self.k1, b=self.b,
         )
 
     def find_on_path(self, terms: list[str]) -> DataFrame:
@@ -124,11 +125,6 @@ class Engine:
         return read_manifest(self.spark, self.index_dir)
 
     # ------------------------------------------------------ helpers ----
-    def _open_meta(self) -> IndexMeta:
-        if self._meta is None:
-            self._meta = open_index_meta(self.spark, self.index_dir)
-        return self._meta
-
     def _flat(self, terms: list[str]) -> DataFrame:
         return postings_flat(self.spark, self.index_dir, docs_only=True,
                              terms=terms, buckets=self._buckets)

@@ -71,7 +71,11 @@ def _corpus_scalars(spark: SparkSession, index_dir: str) -> tuple[float, float]:
 
 def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
     """Full-dictionary meta: manifest scalars + the precomputed terms
-    table (df from block metadata at build time — no payload decode)."""
+    table (df from block metadata at build time — no payload decode).
+
+    Small-index convenience ONLY (collects the whole dictionary to the
+    driver — unbounded in vocabulary size). Query paths use
+    ``query_term_meta``, which touches just the query terms' buckets."""
     from .index import read_terms
 
     n_docs, avgdl = _corpus_scalars(spark, index_dir)
@@ -183,9 +187,16 @@ class _TermPostings:
 
 
 def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
-                  k1: float, b: float) -> pd.DataFrame:
+                  k1: float, b: float,
+                  allowed: np.ndarray | None = None) -> pd.DataFrame:
     """Exact top-k for one segment: UB-ordered chunked scan, early stop,
-    per-block lazy payload decode."""
+    per-block lazy payload decode.
+
+    ``allowed`` (sorted doc_ids) restricts heap MEMBERSHIP to a
+    predicate-selected doc set while scores keep index-wide statistics —
+    the F2-in-the-loop semantics (``EdgeInvertedIndex.java:155``).
+    Filtering candidates BEFORE the UB-ordered scan keeps theta-pruning
+    and block-skipping fully effective under the predicate."""
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
     all_docs: list[np.ndarray] = []
     all_ubs: list[np.ndarray] = []
@@ -201,6 +212,15 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
 
     cand = np.concatenate(all_docs)
     ubs = np.concatenate(all_ubs)
+    if allowed is not None:
+        pos = np.searchsorted(allowed, cand)
+        pos_c = np.clip(pos, 0, max(allowed.size - 1, 0))
+        keep = (allowed.size > 0) & (allowed[pos_c] == cand) \
+            if allowed.size else np.zeros(cand.size, dtype=bool)
+        cand, ubs = cand[keep], ubs[keep]
+        if cand.size == 0:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
     # UB(doc) = sum of per-term block-max bounds (reference A2)
     uniq, inv = np.unique(cand, return_inverse=True)
     ub_sum = np.zeros(uniq.size, dtype=np.float64)
@@ -294,42 +314,39 @@ def topk_bm25_index_filtered(
 
     F2-in-the-loop semantics (``EdgeInvertedIndex.java:155``): scores use
     index-wide statistics; ``predicate`` (a Column over doc_stats' metadata
-    columns, e.g. ``F.col("lang").isin("en")``) restricts heap membership
-    via a semi-join *before* the global top-k, so pruning happens ahead of
-    the ``TakeOrderedAndProject`` merge. Pure DataFrame algebra over the
-    decoded query-term postings — the decode touches only the query terms'
-    partition-pruned buckets.
+    columns, e.g. ``F.col("lang").isin("en")``) restricts heap membership.
+    The allowed-doc set is COGROUPED per segment into the same block-max
+    WAND scorer as the unfiltered path, so theta-pruning and lazy block
+    decode stay effective under the predicate (the round-1 formulation
+    fell back to a full groupBy-sum over the query terms' postings with
+    no UB pruning at all). The predicate itself is pushed into the
+    doc_stats parquet scan; postings scans stay bucket+term pruned.
     """
-    from .index import postings_flat as _flat
     from .index import read_doc_stats
 
     q = sorted(set(str(t) for t in query_terms))
     meta = query_term_meta(spark, index_dir, q, buckets)
-    idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
 
-    ds = read_doc_stats(spark, index_dir)
-    allowed = ds.where(predicate).select("doc_id")
+    allowed = (
+        read_doc_stats(spark, index_dir)
+        .where(predicate)
+        .select("segment", "doc_id")
+    )
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "n_docs", "max_tf", "min_dl",
+        "doc_gaps", "tfs", "dls",
+    )
 
-    # terms pruned BELOW the decode UDF (pushed into the parquet scan)
-    flat = _flat(spark, index_dir, terms=q, buckets=buckets)
-    idf_map = F.create_map(
-        *[x for t in q for x in (F.lit(t), F.lit(idf[t]))]
-    )
-    contrib = flat.select(
-        "doc_id",
-        (
-            idf_map[F.col("term")]
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("dl") / F.lit(meta.avgdl))
-            )
-        ).alias("contrib"),
-    )
+    def run(blk: pd.DataFrame, alw: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
+        return _segment_topk(
+            blk.drop(columns=["segment"]), q, k, meta, k1, b, allowed=ids
+        )
+
+    per_seg = blocks.groupBy("segment").cogroup(
+        allowed.groupBy("segment")
+    ).applyInPandas(run, schema="doc_id bigint, score double")
     return (
-        contrib.groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
-        .join(allowed, "doc_id", "left_semi")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
