@@ -13,11 +13,25 @@ it is the embedding leg of the dedup family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# C=16 cells matches the oracle fixture; at corpus scale C must grow with
+# n — the standard IVF sizing is C ~ sqrt(n) (e.g. 10^6 cells at 10^12
+# vectors), with multi-probe raising recall. Both knobs are plain
+# parameters here; the fixture pins them so the DuckDB oracle is exact.
 N_CENTROIDS = 16
 N_PROBE = 4
+
+
+def cells_for(n_vectors: int) -> int:
+    """Documented C(n) policy: next power of two >= sqrt(n), min 16."""
+    import math
+
+    c = 16
+    while c * c < n_vectors:
+        c *= 2
+    return c
 
 
 def _dot(a, b):
@@ -71,23 +85,31 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     """(vec_id, cell) — nearest centroid by cosine; centroids are the first
     ``n_centroids`` vectors by id (training-free, deterministic).
 
-    Tie-break: highest cosine, then smallest centroid id (row_number)."""
+    Broadcast crossJoin against the (bounded) centroid side, then a
+    map-side-combined ``min(struct(-cos, cent_id))`` aggregation — the
+    partial agg collapses the n x C scored rows to one row per vector
+    BEFORE the (vec_id-keyed, n-row) shuffle; the round-1 row_number
+    window shuffled all n x C rows.
+
+    Tie-break: highest cosine, then smallest centroid id (identical to a
+    row_number over (cos DESC, cent_id ASC))."""
     cents = emb.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
     )
-    scored = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")) \
+    scored = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v")) \
         .crossJoin(F.broadcast(cents)) \
         .select(
-            "vec_id", "cent_id",
-            cosine_expr(F.col("v"), F.col("cvec")).alias("cos"),
+            "vec_id",
+            F.struct(
+                (-cosine_expr(F.col("v"), F.col("cvec"))).alias("negcos"),
+                F.col("cent_id").alias("cid"),
+            ).alias("sc"),
         )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cent_id").asc()
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.min("sc").alias("m"))
+        .select("vec_id", F.col("m")["cid"].alias("cell"))
     )
 
 
@@ -137,18 +159,25 @@ def ann_ivf_topk(emb: DataFrame, query_vec_id: int, k: int,
 
 def embedding_near_dup(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       n_centroids: int = N_CENTROIDS) -> DataFrame:
     """(vec_a, vec_b, cos_u6) pairs with cosine >= threshold.
 
-    Candidate generation at scale: bucket by IVF cell first (near-dups land
-    in the same or adjacent cells with high probability); here exact within
-    cell — documented recall/cost tradeoff of the bucketed variant."""
-    assign = ivf_assign(emb, N_CENTROIDS, id_col, vec_col).select(
+    Candidate generation at scale: bucket by IVF cell first (near-dups
+    land in the same or adjacent cells with high probability); exact
+    pairing within cell. Within-cell pairing is O(n^2/C), so ``n_centroids``
+    must scale with the corpus (``cells_for(n)`` ~ sqrt(n) keeps expected
+    cell size ~sqrt(n)); assign to the top-2 cells (multi-probe) when
+    recall across cell boundaries matters — both change the candidate
+    set, so the fixture query pins C=16 single-probe to match its oracle."""
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(
         F.col("vec_id").alias("cand_id"), "cell"
     )
+    # materialize (id, vec, cell) once — both sides of the within-cell
+    # self-join read it instead of re-running the assignment
     e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
-    )
+    ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     cos = cosine_expr(F.col("a.v"), F.col("b.v"))
     return (
