@@ -184,3 +184,46 @@ def test_stateful_running_hops_matches_batch(spark, tmp_path):
         for r in trajectory.user_hops(pts).collect()
     }
     assert got == exp
+
+
+def test_stream_index_from_rate_source(spark, tmp_path):
+    """S14: a non-file streaming source (rate — the Kafka Simulator
+    analog) drives the same atomic segment commits."""
+    import time
+
+    from pyspark.sql import functions as F
+    from torchtrajectory_spark.operators.index import read_doc_stats
+
+    idx = str(tmp_path / "rate_idx")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200).option("numPartitions", 1).load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.concat(F.lit("stream doc word"),
+                     (F.col("value") % 7).cast("string")).alias("text"),
+        )
+    )
+    q = stream_index_build(
+        spark, index_dir=idx, source=rate, buckets=4,
+        await_termination=False, processing_time="1 second",
+    )
+    try:
+        deadline = time.monotonic() + 120  # generous: host is shared
+        nseg = 0
+        while time.monotonic() < deadline:
+            try:
+                nseg = read_manifest(spark, idx).select(
+                    "segment").distinct().count()
+            except Exception:
+                nseg = 0
+            if nseg >= 1:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert nseg >= 1
+    ds = read_doc_stats(spark, idx)
+    assert ds.count() > 0
+    flat = postings_flat(spark, idx)
+    assert flat.where(F.col("term") == "stream").count() == ds.count()

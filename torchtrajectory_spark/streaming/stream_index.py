@@ -39,9 +39,9 @@ from ..operators.index import (
 
 def stream_index_build(
     spark: SparkSession,
-    input_path: str,
-    index_dir: str,
-    input_schema: StructType | str,
+    input_path: str | None = None,
+    index_dir: str = "",
+    input_schema: StructType | str | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     analyzer: str = "ws",
@@ -52,13 +52,26 @@ def stream_index_build(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     segment_offset: int = 0,
-) -> None:
-    """Consume all currently-available input files into index segments.
+    source: DataFrame | None = None,
+    await_termination: bool = True,
+    processing_time: str = "1 second",
+):
+    """Consume a corpus stream into index segments.
 
     One micro-batch -> one segment numbered ``segment_offset + batch_id``.
-    Re-running with the same checkpoint picks up only files not yet
+    Re-running with the same checkpoint picks up only input not yet
     processed (incremental maintenance); the per-segment manifest carries
     the same lineage + metrics rows as the batch build.
+
+    Source (the S14 surface): pass either ``input_path`` + ``input_schema``
+    (file source; consumed with availableNow and awaited), or ``source`` —
+    any streaming DataFrame with (id_col, text_col, *meta_cols) columns:
+    ``spark.readStream.format("kafka")...`` with the value parsed, a
+    ``rate`` source for replay testing (the reference's Kafka Simulator
+    analog, ``clustering/Streaming/Simulator.java``), etc. The sink is
+    source-agnostic. With ``await_termination=False`` (required for
+    unbounded sources) the started StreamingQuery is returned — stop it
+    when done; segments already committed are immediately queryable.
     """
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifest, exist_ok=True)
@@ -70,10 +83,16 @@ def stream_index_build(
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(index_dir, "_stream_checkpoint")
 
-    reader = spark.readStream.schema(input_schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_path)
+    if source is None:
+        if input_path is None or input_schema is None:
+            raise ValueError("need input_path + input_schema, or source=")
+        reader = spark.readStream.schema(input_schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream = reader.parquet(input_path)
+    else:
+        stream = source
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -86,14 +105,15 @@ def stream_index_build(
         )
         seg.unpersist()
 
-    (
+    writer = (
         stream.writeStream
         .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
     )
+    if await_termination:
+        writer.trigger(availableNow=True).start().awaitTermination()
+        return None
+    return writer.trigger(processingTime=processing_time).start()
 
 
 def sliding_term_counts(
