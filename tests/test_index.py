@@ -241,3 +241,36 @@ def test_compact_index_preserves_results(spark, corpus, index_dir,
     df_dst = read_terms(spark, dst).groupBy("term").agg(
         F.sum("df").alias("df"))
     assert df_src.subtract(df_dst).count() == 0
+
+
+def test_table_writer_seam(spark, tmp_path):
+    """Every segment commit routes through the registered table-format
+    writer (the Iceberg adapter seam); parquet default is restored."""
+    from torchtrajectory_spark.operators import index as ix
+
+    calls = []
+
+    def fake_writer(df, path):
+        calls.append(path)
+        ix._atomic_write_parquet(df, path)
+
+    ix.register_table_writer("fake", fake_writer)
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id bigint, text string")
+    d = str(tmp_path / "fmt_idx")
+    ix.build_index(spark, df, d, id_col="doc_id", text_col="text",
+                   n_segments=1, buckets=2, resume=False,
+                   table_format="fake")
+    # postings + doc_stats + terms + manifest all went through the writer
+    assert len(calls) >= 4
+    assert ix._ACTIVE_FORMAT == "parquet"
+    assert ix.postings_flat(spark, d).count() > 0
+
+
+def test_unknown_table_format_raises(spark, tmp_path):
+    from torchtrajectory_spark.operators import index as ix
+
+    df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="no registered writer"):
+        ix.build_index(spark, df, str(tmp_path / "x"), n_segments=1,
+                       buckets=2, resume=False, table_format="nope")

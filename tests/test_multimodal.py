@@ -73,3 +73,43 @@ def test_features_partition_invariant(spark, media):
     a = mm.media_features(media).orderBy("media_id").collect()
     b = mm.media_features(media.repartition(13)).orderBy("media_id").collect()
     assert a == b
+
+
+def test_ppm_codec_roundtrip_and_resize():
+    import numpy as np
+
+    from torchtrajectory_spark.operators.multimodal import (
+        decode_media, decode_ppm, encode_ppm, resize_nearest,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 7, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    assert (decode_ppm(payload) == img).all()
+    assert (decode_media(payload, "image", "ppm") == img).all()
+    small = resize_nearest(img, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: every output pixel exists in the input
+    assert small[0, 0].tolist() == img[0, 0].tolist()
+
+
+def test_image_channel_stats_distributed(spark):
+    import numpy as np
+
+    from torchtrajectory_spark.operators.multimodal import (
+        encode_ppm, image_channel_stats,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    exp = {}
+    for mid in range(6):
+        img = rng.integers(0, 256, size=(8 + mid, 5, 3), dtype=np.uint8)
+        rows.append((mid, bytearray(encode_ppm(img))))
+        sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        npix = img.shape[0] * img.shape[1]
+        exp[mid] = [int(round(float(s) / npix * 1000)) for s in sums]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    got = {r["media_id"]: [r["mean_r_m"], r["mean_g_m"], r["mean_b_m"]]
+           for r in image_channel_stats(media).collect()}
+    assert got == exp

@@ -113,6 +113,16 @@ class Engine:
             .select("doc_id")
         )
 
+    @staticmethod
+    def find_in_radius(points: DataFrame, lat: float, lng: float,
+                       radius_m: float) -> DataFrame:
+        """Circle query over a point table (the reference's
+        ``findInRange(new Circle(...))``, ``VertexGridIndex.java:288-299``):
+        grid-cell candidates, exact haversine refine (F4)."""
+        from .operators.trajectory import points_in_radius
+
+        return points_in_radius(points, lat, lng, radius_m)
+
     def resolve(self, result: DataFrame) -> DataFrame:
         """Join a (doc_id, ...) result against the doc store metadata —
         the TrajectoryResolver step (J7)."""

@@ -218,6 +218,54 @@ def cluster_metrics(emb: DataFrame, assigned: DataFrame,
     )
 
 
+def first_assign_index(docs: DataFrame, k: int,
+                       doc_id_col: str = "doc_id", text_col: str = "text",
+                       analyzer: str = "ws") -> DataFrame:
+    """X2 — index-assisted first assignment
+    (``Yinyang.firstAssignmentWithInvertedIndex:439-483``): instead of
+    scoring every doc against every centroid, the posting lists of the
+    seed docs' terms generate (doc, seed) candidates, and each doc takes
+    the seed it shares the most distinct terms with.
+
+    Seeds = the k lowest doc_ids. Assignment = argmax shared-term count,
+    ties to the lowest seed id; docs sharing no term with any seed get
+    cluster -1 (the refine iteration picks them up — the reference
+    falls back to its exact pass the same way). Returns
+    (doc_id, cluster, shared).
+
+    Scale shape: one distinct-term explode, one (small-side broadcast)
+    join against the seeds' term sets, one count aggregation — the
+    full doc x centroid distance matrix never materializes.
+    """
+    from .stats import tokenized
+
+    tok = tokenized(docs, doc_id_col, text_col, analyzer).select(
+        "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    seeds = tok.where(F.col("doc_id") < k).select(
+        F.col("doc_id").alias("cid"), "term"
+    )
+    shared = (
+        tok.join(F.broadcast(seeds), "term")
+        .groupBy("doc_id", "cid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    best = (
+        shared.groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("shared")).alias("neg"),
+                            F.col("cid").alias("cid"))).alias("m"))
+        .select("doc_id",
+                F.col("m")["cid"].cast("int").alias("cluster"),
+                (-F.col("m")["neg"]).alias("shared"))
+    )
+    ids = docs.select(F.col(doc_id_col).alias("doc_id"))
+    return ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.lit(-1)).alias("cluster"),
+        F.coalesce(F.col("shared"), F.lit(0).cast("bigint")).alias("shared"),
+    )
+
+
 def top_terms_per_group(docs: DataFrame, groups: DataFrame, n: int = 5,
                         doc_id_col: str = "doc_id",
                         group_doc_col: str = "vec_id",

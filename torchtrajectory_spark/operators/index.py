@@ -40,6 +40,7 @@ import shutil
 import time
 import zlib
 from collections.abc import Iterator
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 import numpy as np
@@ -393,11 +394,15 @@ def build_index(
     resume: bool = True,
     fail_after_segments: int | None = None,
     with_positions: bool = False,
+    table_format: str = "parquet",
 ) -> None:
     """Full segmented, resumable index build.
 
     ``fail_after_segments`` injects a crash after that many segments have
     committed — used by the resume test (FIXTURES.md §5).
+    ``table_format`` selects the registered commit writer (parquet
+    default; ``register_table_writer`` adds e.g. an Iceberg snapshot
+    writer — see the table-format seam notes above).
     """
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifest, exist_ok=True)
@@ -405,7 +410,7 @@ def build_index(
         "buckets": buckets, "n_segments": n_segments,
         "block_size": block_size, "analyzer": analyzer,
         "id_col": id_col, "text_col": text_col,
-        "with_positions": with_positions,
+        "with_positions": with_positions, "table_format": table_format,
     })
     done = _done_segments(spark, paths) if resume else set()
 
@@ -424,19 +429,22 @@ def build_index(
     prev_coalesce = spark.conf.get(coalesce_key, "true")
     spark.conf.set(coalesce_key, "false")
     try:
-        built = 0
-        for s in range(n_segments):
-            if s in done:
-                continue
-            seg = (corpus.where(F.col("_seg") == s).drop("_seg")
-                   if n_segments > 1 else corpus)
-            commit_segment(
-                spark, seg, s, paths, id_col, text_col, analyzer, meta_cols,
-                buckets, block_size, with_positions,
-            )
-            built += 1
-            if fail_after_segments is not None and built >= fail_after_segments:
-                raise RuntimeError(f"injected failure after {built} segments")
+        with use_table_format(table_format):
+            built = 0
+            for s in range(n_segments):
+                if s in done:
+                    continue
+                seg = (corpus.where(F.col("_seg") == s).drop("_seg")
+                       if n_segments > 1 else corpus)
+                commit_segment(
+                    spark, seg, s, paths, id_col, text_col, analyzer,
+                    meta_cols, buckets, block_size, with_positions,
+                )
+                built += 1
+                if fail_after_segments is not None \
+                        and built >= fail_after_segments:
+                    raise RuntimeError(
+                        f"injected failure after {built} segments")
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
 
@@ -558,11 +566,33 @@ def commit_segment(
             "attempt": 1,
         }]
     )
-    _atomic_write(
-        spark.createDataFrame(manifest_row),
-        os.path.join(paths.manifest, f"segment={s}"),
-    )
+    _write_manifest_row(spark, manifest_row,
+                        os.path.join(paths.manifest, f"segment={s}"))
     invalidate_index_cache(paths.root)
+
+
+def _write_manifest_row(spark: SparkSession, pdf: pd.DataFrame,
+                        path: str) -> None:
+    """Commit the one-row manifest marker. Parquet default writes it
+    driver-side via pyarrow + atomic rename — a whole Spark job for one
+    row is pure fixed cost (~0.5s/segment that shows up directly in the
+    N-vs-4N scaling ratio). Non-parquet table formats go through the
+    registered writer (the marker must be a snapshot commit there)."""
+    if _ACTIVE_FORMAT == "parquet":
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = path + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       os.path.join(tmp, "part-0.parquet"))
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return
+    _atomic_write(spark.createDataFrame(pdf), path)
 
 
 def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
@@ -641,8 +671,8 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
         "status": "ok",
         "attempt": 1,
     }])
-    _atomic_write(spark.createDataFrame(manifest_row),
-                  os.path.join(paths.manifest, "segment=0"))
+    _write_manifest_row(spark, manifest_row,
+                        os.path.join(paths.manifest, "segment=0"))
     invalidate_index_cache(dst_dir)
 
 
@@ -661,7 +691,7 @@ def read_index_config(index_dir: str) -> dict:
         return json.load(f)
 
 
-def _atomic_write(df: DataFrame, path: str) -> None:
+def _atomic_write_parquet(df: DataFrame, path: str) -> None:
     """Write-then-rename for atomic per-segment commit."""
     tmp = path + ".__tmp__"
     if os.path.exists(tmp):
@@ -670,6 +700,66 @@ def _atomic_write(df: DataFrame, path: str) -> None:
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+# ---------------------------- table-format seam ---------------------------
+#
+# The north rule's input/output tables are Iceberg; this sandbox has no
+# Iceberg runtime jar, so the commit path is pluggable instead of
+# hard-coding one format. The mapping is 1:1:
+#
+#   segment directory write  ->  Iceberg snapshot-producing append
+#   manifest-row-last commit ->  Iceberg snapshot commit (atomic swap of
+#                                table metadata; our manifest row's
+#                                lineage/metrics become snapshot summary
+#                                properties)
+#   write-then-rename        ->  unnecessary under Iceberg (the catalog
+#                                pointer swap IS the atomic commit)
+#   segment=<s> path suffix  ->  partition spec (segment identity column)
+#
+# Register a writer once per process and pass ``table_format=`` to
+# build_index / compact_index; with an Iceberg-enabled Spark session:
+#
+#   register_table_writer("iceberg", lambda df, path:
+#       df.writeTo(_table_for(path)).using("iceberg").createOrReplace())
+#
+# where ``_table_for`` maps the directory layout onto catalog table +
+# partition values. The parquet default keeps this repo runnable anywhere.
+
+_TABLE_WRITERS: dict = {"parquet": _atomic_write_parquet}
+
+
+def register_table_writer(name: str, fn) -> None:
+    """Register a table-format writer ``fn(df, path) -> None`` whose write
+    must be atomic-or-invisible (like write-then-rename / a snapshot
+    commit): readers may race with it."""
+    _TABLE_WRITERS[name] = fn
+
+
+_ACTIVE_FORMAT = "parquet"
+
+
+@contextmanager
+def use_table_format(name: str):
+    """Scope the commit-path table format (parquet default; see the
+    Iceberg mapping above)."""
+    global _ACTIVE_FORMAT
+    prev = _ACTIVE_FORMAT
+    _ACTIVE_FORMAT = name
+    try:
+        yield
+    finally:
+        _ACTIVE_FORMAT = prev
+
+
+def _atomic_write(df: DataFrame, path: str) -> None:
+    writer = _TABLE_WRITERS.get(_ACTIVE_FORMAT)
+    if writer is None:
+        raise ValueError(
+            f"table format {_ACTIVE_FORMAT!r} has no registered writer; "
+            f"call register_table_writer({_ACTIVE_FORMAT!r}, fn) first"
+        )
+    writer(df, path)
 
 
 def _done_segments(spark: SparkSession, paths: IndexPaths) -> set[int]:
@@ -736,6 +826,19 @@ def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return _cached_read(spark, IndexPaths(index_dir).doc_stats, "doc_stats")
+
+
+def write_debug_index(spark: SparkSession, index_dir: str,
+                      out_dir: str) -> None:
+    """S8 — the uncompressed index writer (``InvertedIndex.java:49-87``'s
+    debug sink): decode every block back to plain (term, doc_id, tf, dl)
+    rows and write them as ordinary parquet for index forensics (diffable,
+    queryable with any tool, no codec required)."""
+    (
+        postings_flat(spark, index_dir)
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(out_dir)
+    )
 
 
 def postings_flat(spark: SparkSession, index_dir: str,

@@ -60,14 +60,70 @@ def media_table(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
-    """Decode stub: the integration point for real codecs.
+def encode_ppm(arr) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6) — a real image
+    format, pure numpy (no PIL needed)."""
+    import numpy as np
 
-    ``fake`` returns the raw bytes; anything else is explicitly
-    unimplemented in this environment (no PIL/ffmpeg in the container).
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, c = a.shape
+    assert c == 3, "PPM P6 is RGB"
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Decode binary PPM (P6) to an (h, w, 3) uint8 numpy array."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, whitespace-separated w h maxval, single whitespace
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i:i + 1].isspace():
+            i += 1
+        if payload[i:i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j:j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """Nearest-neighbor resize of an (h, w, 3) array — the real resample
+    kernel the resize pipeline runs per decoded image."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return arr[rows[:, None], cols[None, :], :]
+
+
+def decode_media(payload: bytes, media_type: str, codec: str = "fake"):
+    """Decode dispatch: the integration point for real codecs.
+
+    * ``fake`` returns the raw bytes (deterministic test payload);
+    * ``ppm`` decodes binary PPM (P6) to an (h, w, 3) uint8 array — a
+      real, pure-numpy image codec proving the non-identity path;
+    * anything else (jpeg/png/audio/video) is explicitly unimplemented in
+      this environment (no PIL/ffmpeg in the container) — plug a decoder
+      in here; the Arrow plumbing upstream does not change.
     """
     if codec == "fake":
         return payload
+    if codec == "ppm":
+        return decode_ppm(payload)
     raise NotImplementedError(
         f"codec {codec!r} for {media_type!r}: real decoders are not "
         "available in this environment; plug one in here"
@@ -125,6 +181,37 @@ def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES,
 
     return media.select("media_id", "payload").mapInPandas(
         frames, schema=FRAMES_SCHEMA
+    )
+
+
+def image_channel_stats(media: DataFrame, codec: str = "ppm") -> DataFrame:
+    """Per-image (media_id, width, height, mean_r_m, mean_g_m, mean_b_m)
+    from DECODED pixels — the feature-extraction pattern over a real
+    decode path (integer pixel sums, milli-units; Arrow-batched, nothing
+    collects). Exercised with the vendored PPM codec; identical plumbing
+    for any decoder plugged into ``decode_media``."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_media(bytes(b), "image", codec)
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npix = img.shape[0] * img.shape[1]
+                rows.append((
+                    mid, img.shape[1], img.shape[0],
+                    *(int(round(float(s) / npix * 1000)) for s in sums),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height",
+                "mean_r_m", "mean_g_m", "mean_b_m",
+            ])
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats,
+        schema=("media_id bigint, width int, height int, "
+                "mean_r_m bigint, mean_g_m bigint, mean_b_m bigint"),
     )
 
 

@@ -76,6 +76,86 @@ def points_in_window(points: DataFrame, lat_lo: float, lat_hi: float,
     ).select("event_id", "user_id")
 
 
+def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
+                     radius_m: float) -> DataFrame:
+    """Radius query (F4 + J5's ring bound): coarse tile candidates from
+    the circle's bounding box, then the exact haversine refine.
+
+    Returns (event_id, user_id, dist_m) for points within ``radius_m``
+    meters of the center — the ``VertexGridIndex.java:288-299`` circle
+    search. The tile filter only generates candidates (pushdown-friendly
+    at scale); exactness comes from the refine, so the result equals the
+    plain haversine predicate.
+    """
+    import math
+
+    # bounding box of the circle (driver-side, C2 analog)
+    dlat = math.degrees(radius_m / 6371000.0)
+    dlng = math.degrees(
+        radius_m / (6371000.0 * math.cos(math.radians(lat_c)))
+    )
+    cells = window_cells(lat_c - dlat, lat_c + dlat,
+                         lng_c - abs(dlng), lng_c + abs(dlng))
+    from ..functions.geo import tile_id
+
+    cand = points.withColumn(
+        "cell",
+        tile_id(F.col("lat"), F.col("lng"), GRID_LAT0, GRID_LNG0,
+                GRID_CELL_DEG, GRID_COLS),
+    ).where(F.col("cell").isin(cells))
+    dist = haversine_m(F.col("lat"), F.col("lng"),
+                       F.lit(float(lat_c)), F.lit(float(lng_c)))
+    return (
+        cand.where(dist <= F.lit(float(radius_m)))
+        .select("event_id", "user_id",
+                F.round(dist).cast("bigint").alias("dist_m"))
+    )
+
+
+DENSIFY_STEP_DEG = 5.0
+
+
+def densify_hops(points: DataFrame, step_deg: float = DENSIFY_STEP_DEG
+                 ) -> DataFrame:
+    """J8 — geometry densification on resolve
+    (``TrajectoryResolver.java:185-221`` interpolates every 50 m; here
+    every ``step_deg`` planar degrees, a portable closed form with no
+    trig in the step count so the oracle is bit-exact).
+
+    For each consecutive point pair per user: n_extra =
+    floor(sqrt(dlat^2+dlng^2)/step_deg) interpolated points at fractions
+    i/(n_extra+1). Returns (user_id, event_id, seq, lat_u6, lng_u6) where
+    seq=0 is the segment's start point and 1..n_extra the interpolated
+    points (pure Catalyst: window lag + sequence + posexplode-style
+    explode of the fraction range).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = points.select(
+        "user_id", "event_id",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lng").over(w).alias("plng"),
+        "lat", "lng",
+    ).where(F.col("plat").isNotNull())
+    seg_len = F.sqrt(
+        (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
+        + (F.col("lng") - F.col("plng")) * (F.col("lng") - F.col("plng"))
+    )
+    n_extra = F.floor(seg_len / F.lit(float(step_deg))).cast("int")
+    dense = hops.select(
+        "user_id", "event_id", "plat", "plng", "lat", "lng",
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("seq"),
+        n_extra.alias("n_extra"),
+    )
+    frac = F.col("seq").cast("double") / (F.col("n_extra") + F.lit(1)).cast("double")
+    ilat = F.col("plat") + (F.col("lat") - F.col("plat")) * frac
+    ilng = F.col("plng") + (F.col("lng") - F.col("plng")) * frac
+    return dense.select(
+        "user_id", "event_id", F.col("seq").cast("bigint").alias("seq"),
+        F.round(ilat * 1e6).cast("bigint").alias("lat_u6"),
+        F.round(ilng * 1e6).cast("bigint").alias("lng_u6"),
+    )
+
+
 def user_hops(points: DataFrame) -> DataFrame:
     """(user_id, n_hops, total_m) over consecutive points per user.
 

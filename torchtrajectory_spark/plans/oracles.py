@@ -337,3 +337,68 @@ def anti_visited_sql(terms: list[str], visited_terms: list[str]) -> str:
     a = bool_or_sql(terms)
     b = bool_or_sql(visited_terms)
     return f"SELECT doc_id FROM ({a}) EXCEPT SELECT doc_id FROM ({b})"
+
+
+def points_in_radius_sql(lat_c: float, lng_c: float,
+                         radius_m: float) -> str:
+    """Radius-query oracle (F4): plain haversine predicate (the tile
+    candidate phase is a superset filter), formula written operand-for-
+    operand as functions/geo.haversine_m sequences it."""
+    hav = (
+        f"2.0 * 6371000.0 * asin(sqrt("
+        f"sin(radians({lat_c!r} - lat) / 2) * sin(radians({lat_c!r} - lat) / 2)"
+        f" + cos(radians(lat)) * cos(radians({lat_c!r}))"
+        f" * sin(radians({lng_c!r} - lng) / 2) * sin(radians({lng_c!r} - lng) / 2)"
+        f"))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+)
+SELECT event_id, user_id, CAST(round({hav}) AS BIGINT) AS dist_m
+FROM pts
+WHERE {hav} <= {radius_m!r}
+""".strip()
+
+
+def densify_hops_sql(step_deg: float) -> str:
+    """J8 densification oracle: same lag pairing, same closed-form step
+    count (no trig), same interpolation op order."""
+    seglen = ("sqrt((lat - plat) * (lat - plat) "
+              "+ (lng - plng) * (lng - plng))")
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+),
+hops AS (
+  SELECT user_id, event_id,
+         lag(lat) OVER w AS plat, lag(lng) OVER w AS plng,
+         lat, lng
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id, event_id, plat, plng, lat, lng,
+         CAST(floor({seglen} / {step_deg!r}) AS BIGINT) AS n_extra
+  FROM hops WHERE plat IS NOT NULL
+),
+e AS (
+  SELECT user_id, event_id, plat, plng, lat, lng, n_extra,
+         unnest(range(0, n_extra + 1)) AS seq
+  FROM d
+)
+SELECT user_id, event_id, seq,
+       CAST(round((plat + (lat - plat)
+            * (CAST(seq AS DOUBLE) / CAST(n_extra + 1 AS DOUBLE))) * 1e6)
+            AS BIGINT) AS lat_u6,
+       CAST(round((plng + (lng - plng)
+            * (CAST(seq AS DOUBLE) / CAST(n_extra + 1 AS DOUBLE))) * 1e6)
+            AS BIGINT) AS lng_u6
+FROM e
+""".strip()

@@ -484,3 +484,30 @@ def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT doc_id, label AS keep_doc_id FROM l{n_iters}"
     )
+
+
+def first_assign_index_sql(k: int) -> str:
+    """X2 oracle: shared-distinct-term argmax vs the k lowest-id seed
+    docs, ties to the lowest seed, no-overlap docs -> cluster -1."""
+    return f"""
+WITH {TOKS_CTE},
+dt AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM toks),
+seeds AS (SELECT doc_id AS cid, term FROM dt WHERE doc_id < {k}),
+shared AS (
+  SELECT dt.doc_id, s.cid, count(*) AS shared
+  FROM dt JOIN seeds s ON dt.term = s.term
+  GROUP BY dt.doc_id, s.cid
+),
+best AS (
+  SELECT doc_id, cid, shared FROM (
+    SELECT doc_id, cid, shared,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY shared DESC, cid ASC) AS rn
+    FROM shared
+  ) WHERE rn = 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(b.cid, -1) AS INT) AS cluster,
+       CAST(coalesce(b.shared, 0) AS BIGINT) AS shared
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+""".strip()

@@ -288,13 +288,23 @@ def ensure_seq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build (or reuse) the doc -> value-sequence side table — the
     mapped-trajectory store (``trajectory_edge.txt`` analog) the pruned
     kernel queries run against instead of re-tokenizing the corpus."""
+    import json
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(tempfile.gettempdir(), f"tts_seqtab_{tag}")
-    done = os.path.join(path, "_SUCCESS")
-    if not os.path.isfile(done):
+    spec = {"prefix": kernels.SEQ_PREFIX, "val": "md5x4mod1000"}
+    spec_file = os.path.join(path, "_spec.json")
+    fresh = False
+    if os.path.isfile(os.path.join(path, "_SUCCESS")) \
+            and os.path.isfile(spec_file):
+        with open(spec_file) as f:
+            fresh = json.load(f) == spec
+    if not fresh:
         kernels.seq_table(_docs(spark, sf_dir)).write.mode(
             "overwrite"
         ).parquet(path)
+        with open(spec_file, "w") as f:
+            json.dump(spec, f)
     return spark.read.parquet(path)
 
 
@@ -320,6 +330,10 @@ def q_user_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINDOW_BOX = (-20.0, 25.0, -90.0, 40.0)
+RADIUS_CENTER = (10.0, -30.0)
+RADIUS_M = 2_000_000.0
+DENSIFY_STEP = 5.0
+FIRST_ASSIGN_K = 8
 
 
 def q_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +341,29 @@ def q_points_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return trajectory.points_in_window(
         trajectory.synth_points(_events(spark, sf_dir)), *WINDOW_BOX
+    )
+
+
+def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import trajectory
+
+    return trajectory.points_in_radius(
+        trajectory.synth_points(_events(spark, sf_dir)),
+        *RADIUS_CENTER, RADIUS_M,
+    )
+
+
+def q_densify_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import trajectory
+
+    return trajectory.densify_hops(
+        trajectory.synth_points(_events(spark, sf_dir)), DENSIFY_STEP
+    )
+
+
+def q_first_assign_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.first_assign_index(
+        _docs(spark, sf_dir), FIRST_ASSIGN_K
     )
 
 
@@ -500,6 +537,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ebd_topk": q_sim_ebd_topk,
     "user_hops": q_user_hops,
     "points_in_window": q_points_in_window,
+    "points_in_radius": q_points_in_radius,
+    "densify_hops": q_densify_hops,
+    "cluster_first_assign": q_first_assign_index,
     "best_then_combine": q_best_then_combine,
     "resolve_topk_json": q_resolve_topk_json,
     "bool_or": q_bool_or,
@@ -566,6 +606,13 @@ ORACLES: dict[str, str] = {
     "sim_ebd_topk": oracles.ebd_topk_sql(Q_AND, K),
     "user_hops": oracles.user_hops_sql(),
     "points_in_window": oracles.points_in_window_sql(*WINDOW_BOX),
+    "points_in_radius": oracles.points_in_radius_sql(
+        *RADIUS_CENTER, RADIUS_M
+    ),
+    "densify_hops": oracles.densify_hops_sql(DENSIFY_STEP),
+    "cluster_first_assign": oracles_ext.first_assign_index_sql(
+        FIRST_ASSIGN_K
+    ),
     "best_then_combine": oracles.best_then_combine_sql(),
     "resolve_topk_json": oracles.resolve_topk_json_sql(Q_TOPK, K),
     "bool_or": oracles.bool_or_sql(Q_OR),
