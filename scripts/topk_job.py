@@ -27,18 +27,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from torchtrajectory_spark.operators.wand import (
-        open_index_meta,
-        topk_bm25_index,
-    )
+    from torchtrajectory_spark.operators.wand import topk_bm25_index
 
     spark = SparkSession.builder.appName("tts-topk").getOrCreate()
-    meta = open_index_meta(spark, args.index)
+    # per-query term meta (bucket-pruned dictionary lookup) — never the
+    # full dictionary (unbounded driver state at 10^12-file scale)
     for q in args.query:
         terms = q.split()
         t0 = time.monotonic()
-        rows = topk_bm25_index(spark, args.index, terms, args.k,
-                               meta=meta).collect()
+        rows = topk_bm25_index(spark, args.index, terms,
+                               args.k).collect()
         print(json.dumps({
             "query": terms,
             "latency_sec": round(time.monotonic() - t0, 4),
