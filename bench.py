@@ -171,11 +171,19 @@ def main() -> None:
     ensure_compacted_index(spark, SF_DIR)
     ensure_seq_table(spark, SF_DIR)
 
+    import gc
+
     qtimes: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.monotonic()
         fn(spark, SF_DIR).collect()
         qtimes[name] = round(time.monotonic() - t0, 4)
+        # release this query's DataFrames so the ContextCleaner can drop
+        # their localCheckpoint RDD blocks — otherwise executor storage
+        # accumulates across the 55-query sweep and later queries pay
+        # GC/eviction churn (measured: embedding_near_dup 2x slower late
+        # in the sweep than in isolation)
+        gc.collect()
     shutil.rmtree(index_dir, ignore_errors=True)
 
     # --- scaling: same job, same input, N and 4N cores; repeats

@@ -364,9 +364,10 @@ WHERE {hav} <= {radius_m!r}
 """.strip()
 
 
-def densify_hops_sql(step_deg: float) -> str:
+def densify_hops_sql(step_deg: float, user_id: int) -> str:
     """J8 densification oracle: same lag pairing, same closed-form step
-    count (no trig), same interpolation op order."""
+    count (no trig), same interpolation op order, same single-user
+    resolve-time scope."""
     seglen = ("sqrt((lat - plat) * (lat - plat) "
               "+ (lng - plng) * (lng - plng))")
     return f"""
@@ -374,7 +375,7 @@ WITH pts AS (
   SELECT user_id, ts, event_id,
          value % 120 - 60 AS lat,
          (value * 3) % 360 - 180 AS lng
-  FROM events
+  FROM events WHERE user_id = {user_id}
 ),
 hops AS (
   SELECT user_id, event_id,

@@ -353,12 +353,20 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DENSIFY_USER = 7
+
+
 def q_densify_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # densification is a RESOLVE-time operation — the reference
+    # interpolates the geometry of the (small) query result set
+    # (TrajectoryResolver.java:185-221), never the whole corpus, so the
+    # query spec densifies one user's trajectory
     from ..operators import trajectory
 
-    return trajectory.densify_hops(
-        trajectory.synth_points(_events(spark, sf_dir)), DENSIFY_STEP
+    pts = trajectory.synth_points(_events(spark, sf_dir)).where(
+        F.col("user_id") == DENSIFY_USER
     )
+    return trajectory.densify_hops(pts, DENSIFY_STEP)
 
 
 def q_first_assign_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -609,7 +617,7 @@ ORACLES: dict[str, str] = {
     "points_in_radius": oracles.points_in_radius_sql(
         *RADIUS_CENTER, RADIUS_M
     ),
-    "densify_hops": oracles.densify_hops_sql(DENSIFY_STEP),
+    "densify_hops": oracles.densify_hops_sql(DENSIFY_STEP, DENSIFY_USER),
     "cluster_first_assign": oracles_ext.first_assign_index_sql(
         FIRST_ASSIGN_K
     ),
