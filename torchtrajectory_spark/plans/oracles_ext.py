@@ -460,14 +460,19 @@ FROM documents,
 
 
 def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
-    """Dedup keep-list oracle: the SAME fixed-iteration min-label
-    propagation as operators/dedup.py near_dup_keep, as nested CTEs over
-    the LSH-candidates-then-verified Jaccard pair graph."""
+    """Dedup keep-list oracle: the SAME 2-hop closure + fixed-iteration
+    min-label propagation as operators/dedup.py near_dup_keep, as nested
+    CTEs over the LSH-candidates-then-verified Jaccard pair graph."""
     edges = jaccard_pairs_lsh_sql(threshold)
     ctes = [
         f"edges AS (SELECT doc_a, doc_b FROM ({edges}))",
-        ("und AS (SELECT doc_a, doc_b FROM edges "
+        ("und1 AS (SELECT doc_a, doc_b FROM edges "
          "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges)"),
+        ("und AS (SELECT DISTINCT doc_a, doc_b FROM ("
+         "SELECT doc_a, doc_b FROM und1 "
+         "UNION ALL "
+         "SELECT x.doc_a, y.doc_b FROM und1 x JOIN und1 y "
+         "ON x.doc_b = y.doc_a WHERE x.doc_a <> y.doc_b))"),
         "l0 AS (SELECT doc_id, doc_id AS label FROM documents)",
     ]
     for i in range(n_iters):
