@@ -86,3 +86,23 @@ def test_user_hops_partition_invariant(spark):
             trajectory.synth_points(e.repartition(17))).collect()
     )
     assert a == b
+
+
+def test_points_in_radius_equals_plain_predicate(spark):
+    """The grid candidate phase is a superset: result == plain haversine."""
+    from pyspark.sql import functions as F
+
+    from torchtrajectory_spark.functions.geo import haversine_m
+    from torchtrajectory_spark.operators.trajectory import (
+        points_in_radius, synth_points,
+    )
+    from torchtrajectory_spark.sources.tables import load_table
+
+    pts = synth_points(load_table(spark, "/root/testdata/sf0.001", "events"))
+    got = {r["event_id"]
+           for r in points_in_radius(pts, -10.0, -30.0, 2e6).collect()}
+    dist = haversine_m(F.col("lat"), F.col("lng"),
+                       F.lit(-10.0), F.lit(-30.0))
+    exp = {r["event_id"]
+           for r in pts.where(dist <= 2e6).select("event_id").collect()}
+    assert got == exp and len(got) > 0

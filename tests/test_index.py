@@ -274,3 +274,27 @@ def test_unknown_table_format_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="no registered writer"):
         ix.build_index(spark, df, str(tmp_path / "x"), n_segments=1,
                        buckets=2, resume=False, table_format="nope")
+
+
+def test_write_debug_index_roundtrip(spark, tmp_path):
+    """S8: the uncompressed debug sink equals the decoded index."""
+    from torchtrajectory_spark.operators.index import (
+        build_index, postings_flat, write_debug_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a c c")],
+        "doc_id bigint, text string",
+    )
+    d = str(tmp_path / "dbg_idx")
+    build_index(spark, df, d, id_col="doc_id", text_col="text",
+                n_segments=1, buckets=2, resume=False)
+    out = str(tmp_path / "dbg_flat")
+    write_debug_index(spark, d, out)
+    got = spark.read.parquet(out).toPandas().sort_values(
+        ["term", "doc_id"]).reset_index(drop=True)
+    exp = postings_flat(spark, d).toPandas().sort_values(
+        ["term", "doc_id"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)

@@ -330,7 +330,9 @@ def q_user_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINDOW_BOX = (-20.0, 25.0, -90.0, 40.0)
-RADIUS_CENTER = (10.0, -30.0)
+# center sits ON the synthetic point locus (value=50 -> (-10, -30)) so
+# the circle is non-trivially populated at every sf
+RADIUS_CENTER = (-10.0, -30.0)
 RADIUS_M = 2_000_000.0
 DENSIFY_STEP = 5.0
 FIRST_ASSIGN_K = 8
