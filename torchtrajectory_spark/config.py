@@ -17,6 +17,11 @@ BM25_B: float = 0.75
 # InvertedIndex.java:26-27) — 128 docs per block, per-block max-score.
 BLOCK_SIZE: int = 128
 
+# On-disk index layout version: bump whenever the postings/doc_stats/
+# manifest schema or codec changes so cached test indexes (ensure_index
+# under /tmp) rebuild instead of failing obscurely.
+INDEX_FORMAT_VERSION: int = 2
+
 # Term-hash merge buckets (SPIMI merge shuffle width). At 10^12-file scale
 # this would be O(10^5); on local[32] keep a multiple of cores.
 DEFAULT_BUCKETS: int = 64

@@ -52,6 +52,7 @@ from ..config import (
     BLOCK_SIZE,
     DEFAULT_BUCKETS,
     HOT_TERM_DF_FRACTION,
+    INDEX_FORMAT_VERSION,
     SALT_FACTOR,
 )
 from ..functions import codec
@@ -411,6 +412,7 @@ def build_index(
         "block_size": block_size, "analyzer": analyzer,
         "id_col": id_col, "text_col": text_col,
         "with_positions": with_positions, "table_format": table_format,
+        "format_version": INDEX_FORMAT_VERSION,
     })
     done = _done_segments(spark, paths) if resume else set()
 

@@ -224,3 +224,74 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
         .select("vec_a", "vec_b",
                 F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
     )
+
+
+def ivf_assign_multi(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                     n_probe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cell, rank) — each vector's ``n_probe`` nearest cells
+    (rank 1 = nearest; ties toward the lower centroid id). The multi-probe
+    assignment: collect the C scored structs per vector (C is bounded),
+    sort, slice — still windowless, one vec_id-keyed aggregation."""
+    cents = emb.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec_col).alias("v")) \
+        .crossJoin(F.broadcast(cents)) \
+        .select(
+            "vec_id",
+            F.struct(
+                (-cosine_expr(F.col("v"), F.col("cvec"))).alias("negcos"),
+                F.col("cent_id").alias("cid"),
+            ).alias("sc"),
+        )
+    top = (
+        scored.groupBy("vec_id")
+        .agg(F.slice(F.sort_array(F.collect_list("sc")), 1, n_probe)
+             .alias("cells"))
+    )
+    return top.select(
+        "vec_id",
+        F.posexplode("cells").alias("r0", "sc"),
+    ).select(
+        "vec_id",
+        F.col("sc")["cid"].alias("cell"),
+        (F.col("r0") + 1).cast("int").alias("rank"),
+    )
+
+
+def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
+                                  id_col: str = "vec_id",
+                                  vec_col: str = "embedding",
+                                  n_centroids: int = N_CENTROIDS,
+                                  n_probe: int = 2) -> DataFrame:
+    """(vec_a, vec_b, cos_u6) near-dup pairs with MULTI-PROBE candidate
+    generation: vectors are posted to their ``n_probe`` nearest cells, so
+    pairs split across a cell boundary (the single-probe recall gap) are
+    still candidates when any of their probed cells coincide. Exact
+    cosine verification per candidate, as in ``embedding_near_dup``."""
+    dim = _dim_of(emb, vec_col)
+    assign = ivf_assign_multi(emb, n_centroids, n_probe, id_col, vec_col) \
+        .select(F.col("vec_id").alias("cand_id"), "cell")
+    e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+    ).localCheckpoint(eager=True)
+    a, b = e.alias("a"), e.alias("b")
+    cands = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("ida"), F.col("a.v").alias("va"),
+                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"))
+        .dropDuplicates(["ida", "idb"])
+    )
+    cos = cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
+    return (
+        cands.select(
+            F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("vec_a", "vec_b",
+                F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
+    )

@@ -516,3 +516,36 @@ SELECT d.doc_id,
        CAST(coalesce(b.shared, 0) AS BIGINT) AS shared
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 """.strip()
+
+
+def embedding_near_dup_mp_sql(threshold: float, n_probe: int = 2) -> str:
+    """Multi-probe near-dup oracle: rank<=n_probe cell assignment, distinct
+    shared-cell pairs, exact cosine verification."""
+    cos = COS_FN.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH cents AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+               WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cent_id,
+         {COS_FN.format(a='e.embedding', b='c.embedding')} AS cos
+  FROM embeddings e CROSS JOIN (SELECT cent_id, embedding FROM cents) c
+),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cent_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {n_probe}
+),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_u6
+FROM cands
+JOIN embeddings ea ON ea.vec_id = vec_a
+JOIN embeddings eb ON eb.vec_id = vec_b
+WHERE {cos} >= {threshold}
+""".strip()

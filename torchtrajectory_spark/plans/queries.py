@@ -60,6 +60,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_index(spark: SparkSession, sf_dir: str,
                  with_positions: bool = False) -> str:
     """Build (or reuse) the compressed inverted index for a test sf_dir."""
+    import shutil
+
+    from ..config import INDEX_FORMAT_VERSION
+    from ..operators.index import read_index_config
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     prefix = "tts_posindex" if with_positions else "tts_index"
     index_dir = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
@@ -70,6 +75,16 @@ def ensure_index(spark: SparkSession, sf_dir: str,
         and len([d for d in os.listdir(marker) if d.startswith("segment=")])
         >= _INDEX_SEGMENTS
     )
+    if not need:
+        # stale-format guard: a cached index from an older engine build
+        # must rebuild, not fail obscurely at decode time
+        try:
+            cfg = read_index_config(index_dir)
+        except Exception:
+            cfg = {}
+        if cfg.get("format_version") != INDEX_FORMAT_VERSION:
+            shutil.rmtree(index_dir, ignore_errors=True)
+            need = True
     if need:
         build_index(
             spark,
@@ -497,6 +512,12 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup(_emb(spark, sf_dir), EMB_DUP_T)
 
 
+def q_emb_near_dup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_multiprobe(
+        _emb(spark, sf_dir), EMB_DUP_T
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -523,6 +544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_cosine_topk,
     "ann_ivf_topk": q_ann_ivf,
     "embedding_near_dup": q_emb_near_dup,
+    "embedding_near_dup_mp": q_emb_near_dup_mp,
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -577,6 +599,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": oracles_ext.cosine_topk_sql(ANN_QID, K),
     "ann_ivf_topk": oracles_ext.ann_ivf_topk_sql(ANN_QID, K),
     "embedding_near_dup": oracles_ext.embedding_near_dup_sql(EMB_DUP_T),
+    "embedding_near_dup_mp": oracles_ext.embedding_near_dup_mp_sql(EMB_DUP_T),
     "token_count": oracles_ext.token_count_sql(),
     "quality_score": oracles_ext.quality_score_sql(),
     "lang_id": oracles_ext.lang_id_sql(),
