@@ -90,11 +90,16 @@ class Engine:
 
     def find_on_path(self, terms: list[str]) -> DataFrame:
         """Boolean OR — docs sharing >=1 term (findOnPath / J2)."""
-        return boolean.bool_or_index(self._flat(terms), terms)
+        return boolean.bool_or_index_blocks(
+            self.spark, self.index_dir, terms, buckets=self._buckets
+        )
 
     def find_on_strict_path(self, terms: list[str]) -> DataFrame:
-        """Boolean AND — docs containing all terms (findOnStrictPath / J3)."""
-        return boolean.bool_and_index(self._flat(terms), terms)
+        """Boolean AND — docs containing all terms (findOnStrictPath /
+        J3)."""
+        return boolean.bool_and_index_blocks(
+            self.spark, self.index_dir, terms, buckets=self._buckets
+        )
 
     def find_phrase(self, phrase: list[str]) -> DataFrame:
         """Exact consecutive-token phrase (positional index required)."""

@@ -69,3 +69,64 @@ def bool_and_index(postings_flat: DataFrame, query_terms: list[str]) -> DataFram
         .where(F.col("n_match") == F.lit(len(terms)))
         .select("doc_id")
     )
+
+
+def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
+                       mode: str, buckets: int | None = None) -> DataFrame:
+    """Segment-local boolean retrieval straight from compressed blocks.
+
+    One ``applyInPandas`` group per segment decodes ONLY the query terms'
+    docID streams (bucket+term predicates pushed to the parquet scan —
+    same pruning as the WAND path) and computes the union / intersection
+    with numpy set ops. Segments are doc-disjoint, so per-segment results
+    concatenate with no global distinct — the flat-rows formulation paid
+    a decode-explode stage plus a corpus-keyed shuffle for the same
+    answer. Salted sub-lists of a hot term union naturally (np.unique).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import codec
+    from .wand import _q_blocks
+
+    q = sorted({str(t) for t in query_terms})
+    nq = len(q)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "doc_gaps"
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        per_term = []
+        for _term, grp in pdf.groupby("term"):
+            arrs = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
+            per_term.append(np.unique(np.concatenate(arrs)))
+        if not per_term:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+        if mode == "or":
+            out = np.unique(np.concatenate(per_term))
+        else:
+            if len(per_term) < nq:
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
+            per_term.sort(key=len)
+            out = per_term[0]
+            for arr in per_term[1:]:
+                out = np.intersect1d(out, arr, assume_unique=True)
+                if out.size == 0:
+                    break
+        return pd.DataFrame({"doc_id": out})
+
+    return blocks.groupBy("segment").applyInPandas(
+        run, schema="doc_id bigint"
+    )
+
+
+def bool_or_index_blocks(spark, index_dir: str, query_terms: list[str],
+                         buckets: int | None = None) -> DataFrame:
+    """OR (J2) from the compressed index — see ``_bool_index_blocks``."""
+    return _bool_index_blocks(spark, index_dir, query_terms, "or", buckets)
+
+
+def bool_and_index_blocks(spark, index_dir: str, query_terms: list[str],
+                          buckets: int | None = None) -> DataFrame:
+    """AND (J3) from the compressed index — see ``_bool_index_blocks``."""
+    return _bool_index_blocks(spark, index_dir, query_terms, "and", buckets)

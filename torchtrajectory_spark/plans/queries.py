@@ -158,20 +158,14 @@ def q_bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bool_or_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
-    return boolean.bool_or_index(
-        postings_flat(spark, idx, docs_only=True, terms=Q_OR,
-                      buckets=_INDEX_BUCKETS),
-        Q_OR,
-    )
+    return boolean.bool_or_index_blocks(spark, idx, Q_OR,
+                                        buckets=_INDEX_BUCKETS)
 
 
 def q_bool_and_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
-    return boolean.bool_and_index(
-        postings_flat(spark, idx, docs_only=True, terms=Q_AND,
-                      buckets=_INDEX_BUCKETS),
-        Q_AND,
-    )
+    return boolean.bool_and_index_blocks(spark, idx, Q_AND,
+                                         buckets=_INDEX_BUCKETS)
 
 
 def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
