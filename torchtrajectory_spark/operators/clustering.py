@@ -172,21 +172,25 @@ def kmeans(
     cents = init_centroids_q(emb, k, id_col, vec_col)
     assigned = _assign_q(emb, cents, id_col, vec_col)
     qvecs = quantized_vecs(emb, id_col, vec_col)
+    d = int(cents.shape[1])
+    # per-dim sums via element_at, NOT posexplode: the partial (map-side)
+    # aggregation collapses each partition to <= k rows of d sums before
+    # the shuffle — the exploded formulation shuffled n x d rows/iteration
+    dim_aggs = [
+        F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(d)
+    ]
     for _ in range(n_iter):
-        exploded = (
-            assigned.join(qvecs, "vec_id")
-            .select("cluster", F.posexplode("q").alias("dim", "x"))
-        )
         rows = (
-            exploded.groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            assigned.join(qvecs, "vec_id")
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *dim_aggs)
             .collect()
         )
         new = cents.copy()
         for r in rows:
-            new[r["cluster"], r["dim"]] = math.floor(
-                float(r["s"]) / float(r["n"]) + 0.5
-            )
+            n = float(r["n"])
+            for i in range(d):
+                new[r["cluster"], i] = math.floor(float(r[f"s{i}"]) / n + 0.5)
         cents = new
         assigned = _assign_q(emb, cents, id_col, vec_col)
     return assigned, cents
