@@ -35,7 +35,7 @@ from ..functions.tokenizer import tokenize_py
 
 EPS = 0.05        # epsilon-match for LCSS/EDR (analog of LEVI.java:30)
 ERP_GAP = 0.0     # ERP gap value g (analog SimilarityFunction.java:97-136)
-SEQ_PREFIX = 16   # fixed token prefix per document (query spec)
+SEQ_PREFIX = 32   # fixed token prefix per document (query spec)
 MEASURES = ("dtw", "lcss", "edr", "erp", "euclid", "hausdorff", "frechet")
 # higher-is-better measures (rest are distances: lower is better)
 _SIM_MEASURES = {"lcss"}
