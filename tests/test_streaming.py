@@ -227,3 +227,30 @@ def test_stream_index_from_rate_source(spark, tmp_path):
     assert ds.count() > 0
     flat = postings_flat(spark, idx)
     assert flat.where(F.col("term") == "stream").count() == ds.count()
+
+
+def test_post_batch_hook_reclusters(spark, chunked_input, tmp_path):
+    """R3: a per-batch re-processing job (here: token histogram refresh,
+    the re-clustering slot) runs after each segment commit."""
+    import os
+
+    root, _docs = chunked_input
+    idx = str(tmp_path / "hook_idx")
+    seen: list[tuple[int, int]] = []
+
+    def recluster(batch_df, seg_id):
+        n_terms = (
+            batch_df.select(F.explode(F.split(F.lower("text"), " ")))
+            .distinct().count()
+        )
+        seen.append((seg_id, n_terms))
+
+    stream_index_build(
+        spark, os.path.join(root, "*.parquet"), idx, DOCS_SCHEMA,
+        buckets=4, max_files_per_trigger=1, post_batch=recluster,
+    )
+    # one hook call per committed segment (= per input file; an earlier
+    # test may have added a late chunk to the shared fixture dir)
+    n_files = len([f for f in os.listdir(root) if f.endswith(".parquet")])
+    assert len(seen) == n_files >= 2
+    assert all(n > 0 for _s, n in seen)

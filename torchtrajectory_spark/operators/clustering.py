@@ -304,3 +304,93 @@ def top_terms_per_group(docs: DataFrame, groups: DataFrame, n: int = 5,
         .where(F.col("rank") <= n)
         .select("grp", "term", "cnt", "rank")
     )
+
+
+def cluster_paths(docs: DataFrame, groups: DataFrame, steps: int = 3,
+                  doc_id_col: str = "doc_id", group_doc_col: str = "vec_id",
+                  group_col: str = "label", text_col: str = "text",
+                  analyzer: str = "ws") -> DataFrame:
+    """X3 — most-frequent-path extraction per cluster
+    (``ClusterPath.extractNewPathFrequency:262-…``): the reference rebuilds
+    each centroid as the highest-frequency edge chain of its members; here
+    the per-cluster most frequent token BIGRAM seeds a chain extended
+    ``steps`` times by the most frequent continuation bigram (ties
+    lexicographic; a chain with no continuation stops early).
+
+    Returns (grp, path, support): path = the space-joined chain,
+    support = integer sum of the chosen bigrams' counts (order-free).
+    Bounded driver loop: ``steps`` argmax joins over the (cluster, a, b)
+    count table — k rows each, broadcast-sized.
+    """
+    from .stats import tokenized
+
+    tok = tokenized(docs, doc_id_col, text_col, analyzer)
+    bigrams = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tokens) >= 2 THEN "
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> struct(element_at(tokens, CAST(i AS INT)) AS a, "
+                "element_at(tokens, CAST(i + 1 AS INT)) AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg")["a"].alias("a"), F.col("bg")["b"].alias("b"))
+    counts = (
+        bigrams.join(
+            groups.select(F.col(group_doc_col).alias("doc_id"),
+                          F.col(group_col).alias("grp")),
+            "doc_id",
+        )
+        .groupBy("grp", "a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # reused by every extension step
+    )
+
+    def best(df: DataFrame, key_cols: list[str]) -> DataFrame:
+        """argmax cnt per key, ties toward (a ASC, b ASC); emits only the
+        non-key bigram fields to avoid duplicate columns."""
+        grouped = (
+            df.groupBy(*key_cols)
+            .agg(F.min(F.struct((-F.col("cnt")).alias("negc"),
+                                F.col("a").alias("a"),
+                                F.col("b").alias("b"))).alias("m"))
+        )
+        sel = [F.col(c) for c in key_cols]
+        if "a" not in key_cols:
+            sel.append(F.col("m")["a"].alias("a"))
+        sel.append(F.col("m")["b"].alias("b"))
+        sel.append((-F.col("m")["negc"]).alias("cnt"))
+        return grouped.select(*sel)
+
+    head = best(counts, ["grp"]).select(
+        "grp", F.col("a").alias("t0"), F.col("b").alias("t1"),
+        F.col("cnt").alias("support"),
+    )
+    state = head
+    for s in range(steps - 1):
+        prev_t = f"t{s + 1}"
+        ext = best(
+            counts.select("grp", F.col("a"), F.col("b"), "cnt"),
+            ["grp", "a"],
+        ).select(F.col("grp").alias("g2"), F.col("a").alias("pa"),
+                 F.col("b").alias("nb"), F.col("cnt").alias("c2"))
+        state = (
+            state.join(
+                ext,
+                (state["grp"] == F.col("g2"))
+                & (state[prev_t] == F.col("pa")),
+                "left",
+            )
+            .select(
+                *[c for c in state.columns if c != "support"],
+                F.col("nb").alias(f"t{s + 2}"),
+                (F.col("support")
+                 + F.coalesce(F.col("c2"), F.lit(0))).alias("support"),
+            )
+        )
+    tcols = [F.col(f"t{i}") for i in range(steps + 1)]
+    return state.select(
+        "grp", F.concat_ws(" ", *tcols).alias("path"), "support"
+    )

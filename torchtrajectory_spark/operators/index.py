@@ -794,9 +794,28 @@ def _cached_read(spark: SparkSession, base: str, kind: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, kind, os.path.abspath(base))
     df = _PLAN_CACHE.get(key)
     if df is None:
-        df = spark.read.option("basePath", base).parquet(
-            os.path.join(base, "segment=*")
-        )
+        # COMMITTED-segments-only read: the manifest marker directory is
+        # renamed into place last, so its presence == the segment's
+        # postings/doc_stats/terms are all complete. Restricting the scan
+        # to marked segments closes the window where a live stream's
+        # half-committed segment was visible to concurrent readers
+        # (postings present, doc_stats not yet). Plain directory listing —
+        # no Spark jobs.
+        root = os.path.dirname(os.path.abspath(base))
+        mdir = os.path.join(root, "manifest")
+        paths = []
+        if os.path.isdir(mdir):
+            for d in sorted(os.listdir(mdir)):
+                if d.startswith("segment="):
+                    seg_path = os.path.join(base, d)
+                    if os.path.isdir(seg_path):
+                        paths.append(seg_path)
+        if paths:
+            df = spark.read.option("basePath", base).parquet(*paths)
+        else:
+            df = spark.read.option("basePath", base).parquet(
+                os.path.join(base, "segment=*")
+            )
         _PLAN_CACHE[key] = df
     return df
 

@@ -549,3 +549,40 @@ JOIN embeddings ea ON ea.vec_id = vec_a
 JOIN embeddings eb ON eb.vec_id = vec_b
 WHERE {cos} >= {threshold}
 """.strip()
+
+
+def cluster_paths_sql(steps: int = 3) -> str:
+    """X3 oracle: most-frequent-bigram chain per cluster, same argmax and
+    tie-break schedule as clustering.cluster_paths."""
+    ctes = [
+        TOKS_CTE,
+        ("bg AS (SELECT t.doc_id, toks[i] AS a, toks[i + 1] AS b "
+         "FROM toks t, unnest(range(1, len(toks))) AS u(i))"),
+        ("counts AS (SELECT l.label AS grp, a, b, count(*) AS cnt "
+         "FROM bg JOIN embeddings l ON bg.doc_id = l.vec_id "
+         "GROUP BY 1, 2, 3)"),
+        ("best1 AS (SELECT grp, a, b, cnt FROM ("
+         "SELECT grp, a, b, cnt, row_number() OVER (PARTITION BY grp "
+         "ORDER BY cnt DESC, a, b) AS rn FROM counts) WHERE rn = 1)"),
+        ("bestext AS (SELECT grp, a, b, cnt FROM ("
+         "SELECT grp, a, b, cnt, row_number() OVER (PARTITION BY grp, a "
+         "ORDER BY cnt DESC, b) AS rn FROM counts) WHERE rn = 1)"),
+        "s1 AS (SELECT grp, a AS t0, b AS t1, cnt AS support FROM best1)",
+    ]
+    prev_cols = ["t0", "t1"]
+    for s in range(steps - 1):
+        nxt = f"t{s + 2}"
+        cols = ", ".join(f"s{s + 1}.{c}" for c in prev_cols)
+        ctes.append(
+            f"s{s + 2} AS (SELECT s{s + 1}.grp, {cols}, e.b AS {nxt}, "
+            f"s{s + 1}.support + coalesce(e.cnt, 0) AS support "
+            f"FROM s{s + 1} LEFT JOIN bestext e "
+            f"ON e.grp = s{s + 1}.grp AND e.a = s{s + 1}.t{s + 1})"
+        )
+        prev_cols.append(nxt)
+    path = ", ".join(prev_cols)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT grp, concat_ws(' ', {path}) AS path, "
+        f"CAST(support AS BIGINT) AS support FROM s{steps}"
+    )

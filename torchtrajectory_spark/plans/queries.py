@@ -460,6 +460,15 @@ def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_STEPS = 3
+
+
+def q_cluster_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clustering.cluster_paths(
+        _docs(spark, sf_dir), _emb(spark, sf_dir), PATH_STEPS
+    )
+
+
 JACCARD_T = 0.8
 EMB_DUP_T = 0.40
 SIMHASH_HAM = 3
@@ -558,6 +567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
+    "cluster_paths": q_cluster_paths,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "sim_ebd_topk": q_sim_ebd_topk,
@@ -626,6 +636,7 @@ ORACLES: dict[str, str] = {
         KMEANS_K, KMEANS_ITERS, KMEANS_D, clustering.QSCALE
     ),
     "cluster_top_terms": oracles_ext.cluster_top_terms_sql(TOP_TERMS_N),
+    "cluster_paths": oracles_ext.cluster_paths_sql(PATH_STEPS),
     "media_features": oracles_ext.media_features_sql(),
     "media_frame_sample": oracles_ext.frame_sample_sql(
         multimodal.FRAME_BYTES, multimodal.FRAME_STRIDE

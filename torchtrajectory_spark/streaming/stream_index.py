@@ -55,6 +55,7 @@ def stream_index_build(
     source: DataFrame | None = None,
     await_termination: bool = True,
     processing_time: str = "1 second",
+    post_batch=None,
 ):
     """Consume a corpus stream into index segments.
 
@@ -103,6 +104,13 @@ def stream_index_build(
             id_col, text_col, analyzer, meta_cols, buckets, block_size,
             with_positions,
         )
+        if post_batch is not None:
+            # R3 — the periodic re-processing hook (``Yinyang.run``'s
+            # rebuild-then-recluster loop, ``Yinyang.java:50-104``): runs
+            # any batch job (re-clustering, stats refresh, compaction
+            # trigger) after each segment commits, while the stream
+            # keeps flowing
+            post_batch(seg, segment_offset + int(batch_id))
         seg.unpersist()
 
     writer = (
