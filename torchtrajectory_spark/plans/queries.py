@@ -241,8 +241,16 @@ def q_resolve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_anti_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OR-match minus visited docs (U3/F6) — one tokenize scan with both
+    # predicates fused (set-equivalent to bool_or EXCEPT bool_or: tok has
+    # one row per doc), instead of two scans + a subtract shuffle
     d = _docs(spark, sf_dir)
-    return boolean.bool_or(d, Q_OR).subtract(boolean.bool_or(d, Q_VISITED))
+    tok = tokenized(d, "doc_id", "text", "ws")
+    q = F.array(*[F.lit(str(t)) for t in Q_OR])
+    v = F.array(*[F.lit(str(t)) for t in Q_VISITED])
+    return tok.where(
+        F.arrays_overlap("tokens", q) & ~F.arrays_overlap("tokens", v)
+    ).select("doc_id")
 
 
 # metadata-filtered top-k (F2-in-the-loop analog): lang predicate
