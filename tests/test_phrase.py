@@ -100,3 +100,20 @@ def test_phrase_unknown_term_empty(spark, pos_index):
     sf, idx = pos_index
     assert phrase_count_index(spark, idx, ["zzz_not_a_term", "hash"],
                               buckets=8).count() == 0
+
+
+def test_phrase_arrow_matches_catalyst(spark):
+    """The Arrow phrase scan == the Catalyst formulation (plan parity)."""
+    from torchtrajectory_spark.operators.phrase import (
+        phrase_count, phrase_count_catalyst,
+    )
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for ph, expect_hits in ((["table", "hash"], True),
+                            (["slow", "hash", "batch"], False)):
+        got = sorted(map(tuple, phrase_count(docs, ph).collect()))
+        exp = sorted(map(tuple, phrase_count_catalyst(docs, ph).collect()))
+        assert got == exp
+        if expect_hits:
+            assert len(got) > 0

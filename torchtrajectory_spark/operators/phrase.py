@@ -42,10 +42,51 @@ def phrase_count(df: DataFrame, phrase: list[str], id_col: str = "doc_id",
                  text_col: str = "text", analyzer: str = "ws") -> DataFrame:
     """(doc_id, n_occ) for docs containing the exact token phrase.
 
-    Pure Catalyst: count i in [1, size-n+1] where tokens[i+j] == phrase[j]
-    for all j. CASE WHEN guards the short-doc branch (sequence() would
-    otherwise run backwards for size < n).
+    Arrow pass: tokenize + sliding window match per doc in Python
+    (the Catalyst ``filter(sequence(...))`` formulation pays per-element
+    higher-order-function boxing — measured ~5x slower on the bench
+    corpus; it survives as ``phrase_count_catalyst`` for plan-comparison
+    parity, asserted equal in tests).
     """
+    n = len(phrase)
+    if n == 0:
+        raise ValueError("empty phrase")
+
+    from collections.abc import Iterator
+
+    from ..functions.tokenizer import tokenize_py
+
+    ph = list(phrase)
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, occ = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", analyzer)
+                c = 0
+                for i in range(len(toks) - n + 1):
+                    if toks[i:i + n] == ph:
+                        c += 1
+                if c:
+                    ids.append(did)
+                    occ.append(c)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_occ": pd.Series(occ, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        count_batches, schema="doc_id bigint, n_occ bigint"
+    )
+
+
+def phrase_count_catalyst(df: DataFrame, phrase: list[str],
+                          id_col: str = "doc_id", text_col: str = "text",
+                          analyzer: str = "ws") -> DataFrame:
+    """Catalyst formulation of ``phrase_count`` (plan-comparison path):
+    count i in [1, size-n+1] where tokens[i+j] == phrase[j] for all j.
+    CASE WHEN guards the short-doc branch (sequence() would otherwise run
+    backwards for size < n)."""
     n = len(phrase)
     if n == 0:
         raise ValueError("empty phrase")

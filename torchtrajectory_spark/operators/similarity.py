@@ -63,6 +63,19 @@ def _chain_sum(terms):
     return acc
 
 
+def dot_fixed(a, b, dim: int):
+    """Left-assoc unrolled dot product (see cosine_expr_fixed)."""
+    ae = [F.element_at(a, i).cast("double") for i in range(1, dim + 1)]
+    be = [F.element_at(b, i).cast("double") for i in range(1, dim + 1)]
+    return _chain_sum([x * y for x, y in zip(ae, be)])
+
+
+def norm_fixed(a, dim: int):
+    """Left-assoc unrolled L2 norm (see cosine_expr_fixed)."""
+    ae = [F.element_at(a, i).cast("double") for i in range(1, dim + 1)]
+    return F.sqrt(_chain_sum([x * x for x in ae]))
+
+
 def cosine_expr_fixed(a, b, dim: int):
     """Cosine with a KNOWN dimension, unrolled into a plain left-assoc
     arithmetic chain (0.0 + t1 + ... + td) — whole-stage codegen, no
@@ -207,11 +220,16 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
     )
     # materialize (id, vec, cell) once — both sides of the within-cell
     # self-join read it instead of re-running the assignment
+    # norms precomputed ONCE per vector (bit-identical to recomputing
+    # them per pair — same expression over the same data), so the O(|cell|^2)
+    # join evaluates one dot product per pair instead of dot + two norms
     e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell",
+        norm_fixed(F.col(vec_col), dim).alias("nv"),
     ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine_expr_fixed(F.col("a.v"), F.col("b.v"), dim)
+    cos = (dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+           / (F.col("a.nv") * F.col("b.nv")))
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.id") < F.col("b.id")))
@@ -275,17 +293,21 @@ def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
     assign = ivf_assign_multi(emb, n_centroids, n_probe, id_col, vec_col) \
         .select(F.col("vec_id").alias("cand_id"), "cell")
     e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell",
+        norm_fixed(F.col(vec_col), dim).alias("nv"),
     ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     cands = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("ida"), F.col("a.v").alias("va"),
-                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"))
+                F.col("a.nv").alias("na"),
+                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"),
+                F.col("b.nv").alias("nb"))
         .dropDuplicates(["ida", "idb"])
     )
-    cos = cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
+    cos = (dot_fixed(F.col("va"), F.col("vb"), dim)
+           / (F.col("na") * F.col("nb")))
     return (
         cands.select(
             F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"),
