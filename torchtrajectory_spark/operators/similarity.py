@@ -220,16 +220,14 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
     )
     # materialize (id, vec, cell) once — both sides of the within-cell
     # self-join read it instead of re-running the assignment
-    # norms precomputed ONCE per vector (bit-identical to recomputing
-    # them per pair — same expression over the same data), so the O(|cell|^2)
-    # join evaluates one dot product per pair instead of dot + two norms
+    # NB: a norm-precompute + dot-only variant measured 2-3x SLOWER here
+    # (the split expression defeated codegen fusion on the join output);
+    # the single fused cosine expression is the fast shape
     e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell",
-        norm_fixed(F.col(vec_col), dim).alias("nv"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
     ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
-    cos = (dot_fixed(F.col("a.v"), F.col("b.v"), dim)
-           / (F.col("a.nv") * F.col("b.nv")))
+    cos = cosine_expr_fixed(F.col("a.v"), F.col("b.v"), dim)
     return (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.id") < F.col("b.id")))
@@ -293,21 +291,17 @@ def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
     assign = ivf_assign_multi(emb, n_centroids, n_probe, id_col, vec_col) \
         .select(F.col("vec_id").alias("cand_id"), "cell")
     e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell",
-        norm_fixed(F.col(vec_col), dim).alias("nv"),
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
     ).localCheckpoint(eager=True)
     a, b = e.alias("a"), e.alias("b")
     cands = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("ida"), F.col("a.v").alias("va"),
-                F.col("a.nv").alias("na"),
-                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"),
-                F.col("b.nv").alias("nb"))
+                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"))
         .dropDuplicates(["ida", "idb"])
     )
-    cos = (dot_fixed(F.col("va"), F.col("vb"), dim)
-           / (F.col("na") * F.col("nb")))
+    cos = cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
     return (
         cands.select(
             F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"),
