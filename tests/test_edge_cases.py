@@ -123,3 +123,49 @@ def test_near_dup_keep_collapses_chains(spark):
             for r in near_dup_keep(df, 0.7).collect()}
     assert keep[0] == 0 and keep[1] == 0 and keep[2] == 0
     assert keep[3] == 3
+
+
+def test_bool_blocks_unknown_terms_empty(spark, tmp_path):
+    """Index-backed boolean with unknown/empty-ish terms -> 0 rows."""
+    from torchtrajectory_spark.operators.boolean import (
+        bool_and_index_blocks, bool_or_index_blocks,
+    )
+    from torchtrajectory_spark.operators.index import build_index
+
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id bigint, text string")
+    d = str(tmp_path / "bb_idx")
+    build_index(spark, df, d, id_col="doc_id", text_col="text",
+                n_segments=1, buckets=2, resume=False)
+    assert bool_or_index_blocks(spark, d, ["zzz"]).count() == 0
+    assert bool_and_index_blocks(spark, d, ["a", "zzz"]).count() == 0
+    assert bool_and_index_blocks(spark, d, ["b"]).count() == 2
+
+
+def test_pruned_kernels_k_exceeds_corpus(spark):
+    """k > n docs: pruning disabled path returns every doc, ranked."""
+    from torchtrajectory_spark.operators import kernels
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    seq = kernels.seq_table(df).localCheckpoint(eager=True)
+    got = kernels.topk_similar_pruned(seq, "tok1 tok2", 50, "dtw").collect()
+    assert len(got) == 5
+
+
+def test_jaccard_exact_cutoff_verifies_full_intersection(spark):
+    """max_shingle_df cutoff: candidates shrink but intersections stay
+    exact — surviving pairs carry identical jac_u6 as the uncut run."""
+    from torchtrajectory_spark.operators.dedup import jaccard_pairs
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r["doc_a"], r["doc_b"]): r["jac_u6"]
+            for r in jaccard_pairs(docs, 0.8).collect()}
+    cut = {(r["doc_a"], r["doc_b"]): r["jac_u6"]
+           for r in jaccard_pairs(docs, 0.8, max_shingle_df=50).collect()}
+    assert set(cut) <= set(full)
+    for pair, j in cut.items():
+        assert full[pair] == j
