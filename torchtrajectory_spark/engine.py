@@ -46,6 +46,7 @@ class Engine:
     k1: float = BM25_K1
     b: float = BM25_B
     _buckets: int = field(default=0, repr=False)
+    _scalars: tuple | None = field(default=None, repr=False)
 
     # ------------------------------------------------- construction ----
     @classmethod
@@ -83,9 +84,17 @@ class Engine:
                 self.spark, self.index_dir, terms, k, where,
                 buckets=self._buckets, k1=self.k1, b=self.b,
             )
+        if self._scalars is None:
+            # (n_docs, avgdl) — two floats, cached per opened index
+            # (reopen the Engine after streamed segment commits, same as
+            # the plan-cache scope)
+            from .operators.wand import _corpus_scalars
+
+            self._scalars = _corpus_scalars(self.spark, self.index_dir)
         return topk_bm25_index(
             self.spark, self.index_dir, terms, k,
             buckets=self._buckets, k1=self.k1, b=self.b,
+            scalars=self._scalars,
         )
 
     def find_on_path(self, terms: list[str]) -> DataFrame:

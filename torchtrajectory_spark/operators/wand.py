@@ -93,12 +93,18 @@ def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
 
 def query_term_meta(spark: SparkSession, index_dir: str,
                     query_terms: list[str],
-                    buckets: int | None = None) -> IndexMeta:
+                    buckets: int | None = None,
+                    scalars: tuple[float, float] | None = None) -> IndexMeta:
     """Per-query variant: df only for the query terms, from the terms
-    dictionary with the bucket predicate pushed into the scan."""
+    dictionary with the bucket predicate pushed into the scan.
+
+    ``scalars`` = a cached (n_docs, avgdl) pair (two floats — bounded
+    driver state, cacheable per opened index) skips the per-query
+    manifest aggregation job."""
     from .index import read_index_config, read_terms
 
-    n_docs, avgdl = _corpus_scalars(spark, index_dir)
+    n_docs, avgdl = (scalars if scalars is not None
+                     else _corpus_scalars(spark, index_dir))
     q = sorted(set(query_terms))
     if buckets is None:
         buckets = int(read_index_config(index_dir)["buckets"])
@@ -272,11 +278,12 @@ def topk_bm25_index(
     buckets: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Top-k BM25 from the compressed index. Returns (doc_id, score)."""
     q = sorted(set(str(t) for t in query_terms))
     if meta is None:
-        meta = query_term_meta(spark, index_dir, q, buckets)
+        meta = query_term_meta(spark, index_dir, q, buckets, scalars)
     # column-prune before the Arrow transfer: the scorer needs only the
     # block payloads + bound metadata, not salt/block_id/first/last/bucket
     # (ReadSchema shrinks accordingly — checked in EXPLAIN.md)
