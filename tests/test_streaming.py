@@ -254,3 +254,27 @@ def test_post_batch_hook_reclusters(spark, chunked_input, tmp_path):
     n_files = len([f for f in os.listdir(root) if f.endswith(".parquet")])
     assert len(seen) == n_files >= 2
     assert all(n > 0 for _s, n in seen)
+
+
+def test_streamed_index_compacts_and_serves(spark, chunked_input, tmp_path):
+    """LSM loop: stream many small segments -> compact to one -> queries
+    are indistinguishable (the maintenance path a long-lived stream needs)."""
+    from torchtrajectory_spark.operators.index import compact_index
+    from torchtrajectory_spark.operators.wand import topk_bm25_index
+
+    root, docs = chunked_input
+    src = str(tmp_path / "lsm_src")
+    dst = str(tmp_path / "lsm_dst")
+    stream_index_build(
+        spark, os.path.join(root, "*.parquet"), src, DOCS_SCHEMA,
+        buckets=8, max_files_per_trigger=1,
+    )
+    n_segs = read_manifest(spark, src).select("segment").distinct().count()
+    assert n_segs >= 2
+    compact_index(spark, src, dst)
+    assert read_manifest(spark, dst).select(
+        "segment").distinct().count() == 1
+    q = ["spark", "join", "window"]
+    got = [tuple(r) for r in topk_bm25_index(spark, dst, q, 10).collect()]
+    exp = [tuple(r) for r in topk_bm25_index(spark, src, q, 10).collect()]
+    assert got == exp
