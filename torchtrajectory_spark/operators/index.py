@@ -619,7 +619,13 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
     _write_index_config(dst_dir, {**cfg, "n_segments": 1,
                                   "compacted_from": src_dir})
     t0 = time.monotonic()
+    with use_table_format(cfg.get("table_format", "parquet")):
+        _compact_body(spark, src_dir, paths, block_size, with_positions, t0)
+    invalidate_index_cache(dst_dir)
 
+
+def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
+                  block_size: int, with_positions: bool, t0: float) -> None:
     from pyspark.sql import Observation
 
     src_blocks = read_postings(spark, src_dir).drop("segment")
@@ -675,7 +681,6 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
     }])
     _write_manifest_row(spark, manifest_row,
                         os.path.join(paths.manifest, "segment=0"))
-    invalidate_index_cache(dst_dir)
 
 
 def _write_index_config(index_dir: str, cfg: dict) -> None:

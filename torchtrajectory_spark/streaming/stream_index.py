@@ -76,10 +76,14 @@ def stream_index_build(
     """
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifest, exist_ok=True)
+    from ..config import INDEX_FORMAT_VERSION
+
     _write_index_config(index_dir, {
         "buckets": buckets, "block_size": block_size, "analyzer": analyzer,
         "id_col": id_col, "text_col": text_col,
         "with_positions": with_positions, "streaming": True,
+        "table_format": "parquet",
+        "format_version": INDEX_FORMAT_VERSION,
     })
     if checkpoint_dir is None:
         checkpoint_dir = os.path.join(index_dir, "_stream_checkpoint")
