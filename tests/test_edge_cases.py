@@ -169,3 +169,35 @@ def test_jaccard_exact_cutoff_verifies_full_intersection(spark):
     assert set(cut) <= set(full)
     for pair, j in cut.items():
         assert full[pair] == j
+
+
+def test_build_pathological_corpora(spark, tmp_path):
+    """Empty corpus, whitespace/None text, unicode tokens — build and
+    query without exceptions; empty docs appear in doc_stats (dl=0) but
+    never in postings."""
+    from torchtrajectory_spark.operators.index import (
+        build_index, postings_flat, read_doc_stats,
+    )
+    from torchtrajectory_spark.operators.wand import topk_bm25_index
+
+    # empty corpus
+    d0 = str(tmp_path / "empty_idx")
+    build_index(spark, spark.createDataFrame([], "doc_id bigint, text string"),
+                d0, id_col="doc_id", text_col="text", n_segments=1,
+                buckets=2, resume=False)
+    assert postings_flat(spark, d0).count() == 0
+    assert topk_bm25_index(spark, d0, ["x"], 5).count() == 0
+
+    # whitespace-only + NULL text + unicode
+    d1 = str(tmp_path / "ws_idx")
+    df = spark.createDataFrame(
+        [(1, "   "), (2, None), (3, "héllo 日本語 héllo")],
+        "doc_id bigint, text string",
+    )
+    build_index(spark, df, d1, id_col="doc_id", text_col="text",
+                n_segments=1, buckets=2, resume=False)
+    assert read_doc_stats(spark, d1).count() == 3
+    assert postings_flat(spark, d1).select(
+        "doc_id").distinct().count() == 1
+    rows = topk_bm25_index(spark, d1, ["héllo"], 5).collect()
+    assert [r["doc_id"] for r in rows] == [3]
