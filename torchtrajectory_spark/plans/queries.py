@@ -29,7 +29,7 @@ from ..operators import (
     textstats,
     topk,
 )
-from ..operators.index import build_index, postings_flat
+from ..operators.index import build_index
 from ..operators.stats import term_freqs, tokenized
 from ..operators.wand import topk_bm25_index, topk_bm25_index_filtered
 from ..sources.tables import load_table
