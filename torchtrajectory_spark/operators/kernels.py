@@ -393,6 +393,19 @@ def topk_similar_pruned(
     if measure not in KERNELS:
         raise ValueError(f"unknown measure {measure!r}")
     higher_better = measure in _SIM_MEASURES
+    if measure in ("euclid", "hausdorff"):
+        # the "bound" for these closed-form measures IS the exact score
+        # (same op sequence) — one pass, no seed/survivor rounds
+        return (
+            seq_bounds(seq_tbl, query_text, measure, analyzer)
+            .orderBy(F.col("bound").asc(), F.col("doc_id").asc())
+            .limit(k)
+            .select(
+                "doc_id",
+                F.round(F.col("bound") * 1e6).cast("bigint")
+                .alias("score_u6"),
+            )
+        )
     bounds = seq_bounds(seq_tbl, query_text, measure, analyzer) \
         .localCheckpoint(eager=True)
 
