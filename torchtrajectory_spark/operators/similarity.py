@@ -290,20 +290,25 @@ def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
     dim = _dim_of(emb, vec_col)
     assign = ivf_assign_multi(emb, n_centroids, n_probe, id_col, vec_col) \
         .select(F.col("vec_id").alias("cand_id"), "cell")
-    e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
-    ).localCheckpoint(eager=True)
-    a, b = e.alias("a"), e.alias("b")
-    cands = (
+    # dedup the candidate PAIR IDS first (tiny rows), then attach vectors
+    # — a dropDuplicates over pair rows already carrying both vectors
+    # shuffled |pairs| x 2 x d floats (measured: gigabytes at bench scale,
+    # the dominant cost of this query)
+    assign2 = assign.localCheckpoint(eager=True)
+    a, b = assign2.alias("a"), assign2.alias("b")
+    cand_ids = (
         a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("ida"), F.col("a.v").alias("va"),
-                F.col("b.id").alias("idb"), F.col("b.v").alias("vb"))
+               & (F.col("a.cand_id") < F.col("b.cand_id")))
+        .select(F.col("a.cand_id").alias("ida"),
+                F.col("b.cand_id").alias("idb"))
         .dropDuplicates(["ida", "idb"])
     )
+    va = emb.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
     cos = cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
     return (
-        cands.select(
+        cand_ids.join(va, "ida").join(vb, "idb")
+        .select(
             F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"),
             cos.alias("cos"),
         )
