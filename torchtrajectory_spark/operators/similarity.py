@@ -100,6 +100,58 @@ def _dim_of(emb: DataFrame, vec_col: str) -> int:
     return int(row["d"]) if row else 0
 
 
+def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cell, rank<=n_probe) — Arrow-batched nearest-cells.
+
+    BIT-IDENTICAL to the SQL/fold cosine: the dot and norm accumulate
+    dimension-by-dimension in ascending order (a Python loop over dims,
+    vectorized across rows), which is exactly the left fold
+    ``((0+t1)+t2)+...`` the DuckDB oracle and ``cosine_expr`` evaluate —
+    numpy's blocked ``@``/``einsum`` would differ in the last ulp and
+    flip near-tie assignments. Ranking = stable argsort on -cos with
+    centroids pre-sorted by id, i.e. (cos DESC, cent_id ASC).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    rows = (
+        emb.where(F.col(id_col) < n_centroids)
+        .orderBy(id_col).select(id_col, vec_col).collect()
+    )
+    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    d = C.shape[1]
+    cnorm = np.zeros(len(cids))
+    for j in range(d):
+        cnorm += C[:, j] * C[:, j]
+    cnorm = np.sqrt(cnorm)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = x.shape[0]
+            dot = np.zeros((n, len(cids)))
+            xnorm = np.zeros(n)
+            for j in range(d):
+                dot += np.outer(x[:, j], C[:, j])
+                xnorm += x[:, j] * x[:, j]
+            xnorm = np.sqrt(xnorm)
+            cos = dot / (xnorm[:, None] * cnorm[None, :])
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, n_probe),
+                "cell": cids[idx].ravel(),
+                "rank": np.tile(np.arange(1, n_probe + 1), n),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="vec_id bigint, cell bigint, rank int"
+    )
+
+
 def cosine_topk(emb: DataFrame, query_vec_id: int, k: int,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k by cosine vs the embedding of ``query_vec_id``.
@@ -136,24 +188,12 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     window shuffled all n x C rows.
 
     Tie-break: highest cosine, then smallest centroid id (identical to a
-    row_number over (cos DESC, cent_id ASC))."""
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("v")) \
-        .crossJoin(F.broadcast(cents)) \
-        .select(
-            "vec_id",
-            F.struct(
-                (-cosine_expr(F.col("v"), F.col("cvec"))).alias("negcos"),
-                F.col("cent_id").alias("cid"),
-            ).alias("sc"),
-        )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.min("sc").alias("m"))
-        .select("vec_id", F.col("m")["cid"].alias("cell"))
+    row_number over (cos DESC, cent_id ASC)). One fold-order-exact Arrow
+    pass (``_cell_ranks_np``) — results unchanged from the crossJoin +
+    map-side min(struct) formulation and the SQL oracle, with no join or
+    shuffle at all."""
+    return _cell_ranks_np(emb, n_centroids, 1, id_col, vec_col).select(
+        "vec_id", "cell"
     )
 
 
@@ -246,35 +286,11 @@ def ivf_assign_multi(emb: DataFrame, n_centroids: int = N_CENTROIDS,
                      n_probe: int = 2, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """(vec_id, cell, rank) — each vector's ``n_probe`` nearest cells
-    (rank 1 = nearest; ties toward the lower centroid id). The multi-probe
-    assignment: collect the C scored structs per vector (C is bounded),
-    sort, slice — still windowless, one vec_id-keyed aggregation."""
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
-    )
-    scored = emb.select(F.col(id_col).alias("vec_id"),
-                        F.col(vec_col).alias("v")) \
-        .crossJoin(F.broadcast(cents)) \
-        .select(
-            "vec_id",
-            F.struct(
-                (-cosine_expr(F.col("v"), F.col("cvec"))).alias("negcos"),
-                F.col("cent_id").alias("cid"),
-            ).alias("sc"),
-        )
-    top = (
-        scored.groupBy("vec_id")
-        .agg(F.slice(F.sort_array(F.collect_list("sc")), 1, n_probe)
-             .alias("cells"))
-    )
-    return top.select(
-        "vec_id",
-        F.posexplode("cells").alias("r0", "sc"),
-    ).select(
-        "vec_id",
-        F.col("sc")["cid"].alias("cell"),
-        (F.col("r0") + 1).cast("int").alias("rank"),
-    )
+    (rank 1 = nearest; ties toward the lower centroid id). One
+    fold-order-exact Arrow pass (``_cell_ranks_np``) — no join, no
+    shuffle, results identical to a sort over the per-centroid cosine
+    scores."""
+    return _cell_ranks_np(emb, n_centroids, n_probe, id_col, vec_col)
 
 
 def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
