@@ -102,11 +102,35 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 analyzer: str = "ws", k: int = FP_K) -> DataFrame:
     """(doc_id, fp) — winnowing-lite document fingerprint: the minimum md5
-    over k-gram shingles (rolling-hash analog, engine-portable)."""
-    sh = shingles(df, id_col, text_col, analyzer, k)
-    return sh.select(
-        "doc_id",
-        F.array_min(
-            F.transform(F.col("shingles"), lambda s: F.md5(s))
-        ).alias("fp"),
+    hex over k-gram shingles (rolling-hash analog, engine-portable; md5
+    hex is lowercase ASCII, so Python string min == SQL VARCHAR min).
+
+    One Arrow pass — the transform-HOF md5 paid per-element boxing (the
+    same measured pattern as the minhash/simhash passes)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.tokenizer import tokenize_py
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", analyzer)
+                ids.append(did)
+                if len(toks) < k:
+                    fps.append(None)
+                    continue
+                fps.append(min(
+                    hashlib.md5(
+                        " ".join(toks[i:i + k]).encode()
+                    ).hexdigest()
+                    for i in range(len(toks) - k + 1)
+                ))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp_batches, schema="doc_id bigint, fp string"
     )
