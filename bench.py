@@ -44,11 +44,11 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "120000"))
 # SPARK_GRAFT_SCALE_LOW / _HIGH.
 SCALE_LOW_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "1"))
 SCALE_HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-# retry budget: extra interleaved rounds sampled while the best-of ratio
-# is still below the target (host contention makes single samples noisy)
-SCALE_TARGET = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET", "0.8"))
-SCALE_MAX_EXTRA = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_EXTRA", "4"))
+# FIXED, pre-declared sample schedule (no adaptive retry: round 2's
+# sample-until-target loop was optional stopping conditioned on a
+# favorable reading — it biased the committed number upward; see
+# ADVICE r2). Every round runs; every sample is reported.
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
 # deterministic reference query set over the synthetic code vocabulary
@@ -211,30 +211,35 @@ def main() -> None:
                 shutil.rmtree(d, ignore_errors=True)
                 samples[cpus].append(round(fps, 2))
 
-        def eff_now() -> float:
-            ratio = SCALE_HIGH_CPUS / SCALE_LOW_CPUS
-            return (max(samples[SCALE_HIGH_CPUS])
-                    / max(samples[SCALE_LOW_CPUS])) / ratio
-
         for _rep in range(SCALE_REPEATS):
             one_round()
-        # the host is shared with other tenants: a single contended
-        # high-cpu sample drags per-config-best efficiency below what the
-        # engine actually scales to. Keep sampling (bounded) until the
-        # best-of ratio clears the target or the budget runs out — every
-        # sample is reported, nothing is discarded.
-        extra = 0
-        while eff_now() < SCALE_TARGET and extra < SCALE_MAX_EXTRA:
-            one_round()
-            extra += 1
+        ratio = SCALE_HIGH_CPUS / SCALE_LOW_CPUS
+        # two estimators, both over the SAME fixed schedule:
+        #  * best-of: (best hi)/(best lo)/ratio — approximates the
+        #    uncontended capability on a shared box (per-config min time);
+        #  * median-of-rounds: median over the interleaved per-round
+        #    ratios — robust, no max-selection. Headline = best-of
+        #    (contention model documented in BASELINE.md); the median is
+        #    reported alongside so the schedule carries no stopping bias.
         fps_lo = max(samples[SCALE_LOW_CPUS])
         fps_hi2 = max(samples[SCALE_HIGH_CPUS])
+        round_effs = [
+            round((h / lo) / ratio, 3)
+            for lo, h in zip(samples[SCALE_LOW_CPUS],
+                             samples[SCALE_HIGH_CPUS])
+        ]
         results["scale_files_per_sec_low"] = fps_lo
         results["scale_files_per_sec_high"] = fps_hi2
         results["scale_samples"] = samples
         results["scale_cpus"] = [SCALE_LOW_CPUS, SCALE_HIGH_CPUS]
         results["scale_loadavg"] = loads
-        results["scaling_efficiency"] = round(eff_now(), 3)
+        results["scale_round_efficiencies"] = round_effs
+        results["scaling_efficiency"] = round(
+            (fps_hi2 / fps_lo) / ratio, 3
+        )
+        results["scaling_efficiency_median_round"] = round(
+            statistics.median(round_effs), 3
+        )
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {

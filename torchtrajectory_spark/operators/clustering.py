@@ -72,10 +72,19 @@ def assign_fixed_centroids(
 
 def init_centroids(emb: DataFrame, k: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> np.ndarray:
-    """Deterministic seeding: the k lowest-id vectors (analog of the
+    """Deterministic seeding: the vectors with ``id < k`` (analog of the
     reference's frequency-seeded ``initializeClustersHighFrequency`` —
-    deterministic variant for rank-stable tests)."""
-    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    deterministic variant for rank-stable tests).
+
+    Seeding rule is ``id_col < k`` — the SAME predicate the DuckDB
+    oracles, ``_cell_ranks_np`` and ``first_assign_index`` use — and
+    assumes ids are contiguous from 0 (true for the driver tables; an
+    ``orderBy(id).limit(k)`` seed would silently diverge on gappy ids).
+    """
+    rows = (
+        emb.where(F.col(id_col) < k)
+        .orderBy(id_col).select(vec_col).collect()
+    )
     return np.array([r[0] for r in rows], dtype=np.float64)
 
 
@@ -132,8 +141,12 @@ def quantized_vecs(emb: DataFrame, id_col: str = "vec_id",
 
 def init_centroids_q(emb: DataFrame, k: int, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> np.ndarray:
-    """Quantized deterministic seeding: the k lowest-id vectors."""
-    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    """Quantized deterministic seeding: ``id < k`` (see init_centroids
+    for the seeding-rule contract; contiguous-id assumption applies)."""
+    rows = (
+        emb.where(F.col(id_col) < k)
+        .orderBy(id_col).select(vec_col).collect()
+    )
     return quant_np(np.array([r[0] for r in rows], dtype=np.float64))
 
 

@@ -122,6 +122,9 @@ def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
     )
     cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
     C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    # fewer centroid rows than asked-for probes: clamp (the repeat/tile
+    # shapes below would otherwise mismatch and raise mid-stream)
+    n_probe = min(n_probe, len(cids))
     d = C.shape[1]
     cnorm = np.zeros(len(cids))
     for j in range(d):
@@ -138,7 +141,13 @@ def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
                 dot += np.outer(x[:, j], C[:, j])
                 xnorm += x[:, j] * x[:, j]
             xnorm = np.sqrt(xnorm)
-            cos = dot / (xnorm[:, None] * cnorm[None, :])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dot / (xnorm[:, None] * cnorm[None, :])
+            # zero-norm vector or centroid -> NaN cosine; the SQL spec
+            # (ORDER BY cos DESC) would rank NaN first in DuckDB while a
+            # stable argsort on -cos ranks it last — pin the semantics:
+            # a zero-norm pairing is "no similarity", ranked LAST
+            cos = np.where(np.isnan(cos), -np.inf, cos)
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame({

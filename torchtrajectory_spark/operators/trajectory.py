@@ -89,13 +89,33 @@ def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
     """
     import math
 
-    # bounding box of the circle (driver-side, C2 analog)
-    dlat = math.degrees(radius_m / 6371000.0)
-    dlng = math.degrees(
-        radius_m / (6371000.0 * math.cos(math.radians(lat_c)))
-    )
-    cells = window_cells(lat_c - dlat, lat_c + dlat,
-                         lng_c - abs(dlng), lng_c + abs(dlng))
+    # bounding box of the spherical cap (driver-side, C2 analog). The
+    # longitude half-extent of a cap at lat_c with angular radius c is
+    # asin(sin(c) / cos(lat)) evaluated at the WIDEST latitude the cap
+    # reaches (not lat_c: the equirectangular r/(R cos lat_c) is slightly
+    # too narrow and could drop a whole candidate cell on a fine grid).
+    # If the cap reaches a pole, or the extent formula leaves its domain,
+    # or the box would cross the antimeridian, degrade to the full
+    # longitude range — candidates only, exactness comes from the refine.
+    c_ang = radius_m / 6371000.0
+    dlat = math.degrees(c_ang)
+    lat_lo, lat_hi = lat_c - dlat, lat_c + dlat
+    widest_lat = max(abs(lat_lo), abs(lat_hi))
+    full_lng = False
+    if lat_hi >= 90.0 or lat_lo <= -90.0 or widest_lat >= 90.0:
+        full_lng = True
+    else:
+        s = math.sin(c_ang) / math.cos(math.radians(widest_lat))
+        if s >= 1.0:
+            full_lng = True
+        else:
+            dlng = math.degrees(math.asin(s))
+    if full_lng or lng_c - dlng < -180.0 or lng_c + dlng > 180.0:
+        lng_lo, lng_hi = -180.0, 180.0
+    else:
+        lng_lo, lng_hi = lng_c - dlng, lng_c + dlng
+    cells = window_cells(max(lat_lo, -90.0), min(lat_hi, 90.0),
+                         lng_lo, lng_hi)
     from ..functions.geo import tile_id
 
     cand = points.withColumn(
