@@ -161,6 +161,7 @@ def main() -> None:
     # per-query timings measure the query, not a first-touch build
     # (build throughput is the separate headline above)
     from torchtrajectory_spark.plans.queries import (
+        ensure_centroids,
         ensure_compacted_index,
         ensure_index,
         ensure_seq_table,
@@ -170,6 +171,7 @@ def main() -> None:
     ensure_index(spark, SF_DIR, with_positions=True)
     ensure_compacted_index(spark, SF_DIR)
     ensure_seq_table(spark, SF_DIR)
+    ensure_centroids(spark, SF_DIR)
 
     import gc
 

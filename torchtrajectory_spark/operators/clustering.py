@@ -167,6 +167,85 @@ def _assign_q(emb: DataFrame, cents_q: np.ndarray, id_col: str,
     )
 
 
+def assign_with_dist(emb: DataFrame, cents_q: np.ndarray,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cluster, d2) — assignment AND the squared distance to the
+    chosen centroid in the SAME Arrow pass, so the metrics aggregation
+    (A7) needs no second scan, no join, and no UDF re-evaluation."""
+    c = cents_q.copy()
+
+    def fn(batches):
+        from collections.abc import Iterator  # noqa: F401
+        for pdf in batches:
+            xq = quant_np(np.stack(pdf[vec_col].to_numpy()))
+            d = ((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "cluster": a.astype(np.int32),
+                "d2": d[np.arange(len(a)), a],
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="vec_id bigint, cluster int, d2 bigint"
+    )
+
+
+def _partial_sums(emb: DataFrame, cents_q: np.ndarray, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """(cluster, n, s0..s{d-1}) member counts + per-dim int64 sums under
+    the CURRENT centroids — assignment and map-side combine fused into
+    one Arrow pass. Each batch emits <= k partial rows, so the only
+    shuffle per Lloyd iteration is k x (d+2) integers (the round-2
+    formulation joined the assignment DF against a second scan of the
+    vectors: a full-data shuffle join per iteration)."""
+    c = cents_q.copy()
+    k, d = c.shape
+    cols = ["cluster", "n"] + [f"s{i}" for i in range(d)]
+
+    def fn(batches):
+        for pdf in batches:
+            xq = quant_np(np.stack(pdf[vec_col].to_numpy()))
+            a = np.argmin(((xq[:, None, :] - c[None, :, :]) ** 2).sum(-1),
+                          axis=1)
+            rows = []
+            for cl in np.unique(a):
+                m = xq[a == cl]
+                rows.append((int(cl), len(m), *m.sum(axis=0)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "cluster int, n bigint, " + ", ".join(
+        f"s{i} bigint" for i in range(d)
+    )
+    part = emb.select(vec_col).mapInPandas(fn, schema=schema)
+    return part.groupBy("cluster").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"s{i}").alias(f"s{i}") for i in range(d)],
+    )
+
+
+def train_kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> np.ndarray:
+    """Fixed-point Lloyd TRAINING only: returns the final quantized
+    centroids (k x d int64). One fused assign+partial-sum pass per
+    iteration; empty clusters keep their previous centroid. Bit-identical
+    to ``kmeans``'s centroid sequence (integer sums are associative, so
+    the fused partial-sum pass cannot differ from the join formulation).
+    """
+    cents = init_centroids_q(emb, k, id_col, vec_col)
+    for _ in range(n_iter):
+        rows = _partial_sums(emb, cents, id_col, vec_col).collect()
+        new = cents.copy()
+        for r in rows:
+            n = float(r["n"])
+            for i in range(cents.shape[1]):
+                new[r["cluster"], i] = math.floor(float(r[f"s{i}"]) / n + 0.5)
+        cents = new
+    return cents
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -182,31 +261,8 @@ def kmeans(
     (bounded cardinality — skew-free by construction); everything else is
     a broadcast-assignment map pass.
     """
-    cents = init_centroids_q(emb, k, id_col, vec_col)
-    assigned = _assign_q(emb, cents, id_col, vec_col)
-    qvecs = quantized_vecs(emb, id_col, vec_col)
-    d = int(cents.shape[1])
-    # per-dim sums via element_at, NOT posexplode: the partial (map-side)
-    # aggregation collapses each partition to <= k rows of d sums before
-    # the shuffle — the exploded formulation shuffled n x d rows/iteration
-    dim_aggs = [
-        F.sum(F.element_at("q", i + 1)).alias(f"s{i}") for i in range(d)
-    ]
-    for _ in range(n_iter):
-        rows = (
-            assigned.join(qvecs, "vec_id")
-            .groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"), *dim_aggs)
-            .collect()
-        )
-        new = cents.copy()
-        for r in rows:
-            n = float(r["n"])
-            for i in range(d):
-                new[r["cluster"], i] = math.floor(float(r[f"s{i}"]) / n + 0.5)
-        cents = new
-        assigned = _assign_q(emb, cents, id_col, vec_col)
-    return assigned, cents
+    cents = train_kmeans(emb, k, n_iter, id_col, vec_col)
+    return _assign_q(emb, cents, id_col, vec_col), cents
 
 
 def cluster_metrics(emb: DataFrame, assigned: DataFrame,

@@ -95,11 +95,6 @@ def cosine_expr_fixed(a, b, dim: int):
     return dot / (na * nb)
 
 
-def _dim_of(emb: DataFrame, vec_col: str) -> int:
-    row = emb.select(F.size(vec_col).alias("d")).first()
-    return int(row["d"]) if row else 0
-
-
 def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
                    id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, cell, rank<=n_probe) — Arrow-batched nearest-cells.
@@ -116,38 +111,15 @@ def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
     import pandas as pd
     from collections.abc import Iterator
 
-    rows = (
-        emb.where(F.col(id_col) < n_centroids)
-        .orderBy(id_col).select(id_col, vec_col).collect()
-    )
-    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
-    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    # fewer centroid rows than asked-for probes: clamp (the repeat/tile
-    # shapes below would otherwise mismatch and raise mid-stream)
-    n_probe = min(n_probe, len(cids))
-    d = C.shape[1]
-    cnorm = np.zeros(len(cids))
-    for j in range(d):
-        cnorm += C[:, j] * C[:, j]
-    cnorm = np.sqrt(cnorm)
+    bc, n_probe = _centroid_state(emb, n_centroids, n_probe, id_col,
+                                  vec_col)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, C, cnorm = bc.value
         for pdf in batches:
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             n = x.shape[0]
-            dot = np.zeros((n, len(cids)))
-            xnorm = np.zeros(n)
-            for j in range(d):
-                dot += np.outer(x[:, j], C[:, j])
-                xnorm += x[:, j] * x[:, j]
-            xnorm = np.sqrt(xnorm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = dot / (xnorm[:, None] * cnorm[None, :])
-            # zero-norm vector or centroid -> NaN cosine; the SQL spec
-            # (ORDER BY cos DESC) would rank NaN first in DuckDB while a
-            # stable argsort on -cos ranks it last — pin the semantics:
-            # a zero-norm pairing is "no similarity", ranked LAST
-            cos = np.where(np.isnan(cos), -np.inf, cos)
+            cos = _cos_to_cents(x, C, cnorm)
             idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
             ids = pdf[id_col].to_numpy()
             yield pd.DataFrame({
@@ -159,6 +131,53 @@ def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
     return emb.select(id_col, vec_col).mapInPandas(
         fn, schema="vec_id bigint, cell bigint, rank int"
     )
+
+
+def _centroid_state(emb: DataFrame, n_centroids: int, n_probe: int,
+                    id_col: str, vec_col: str):
+    """Collect the C x d centroid block ONCE and ship it as a Spark
+    broadcast (one copy per executor). A plain closure capture would
+    serialize the block into EVERY task — fine at the fixture's C=16,
+    multi-GB of duplicate task payload at the documented cells_for(n)
+    ~ sqrt(n) policy with d >= 768. Returns (broadcast, clamped n_probe)
+    — n_probe is clamped to the actual centroid count (the repeat/tile
+    shapes downstream would otherwise mismatch and raise mid-stream)."""
+    import numpy as np
+
+    rows = (
+        emb.where(F.col(id_col) < n_centroids)
+        .orderBy(id_col).select(id_col, vec_col).collect()
+    )
+    cids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    cnorm = np.zeros(len(cids))
+    for j in range(C.shape[1]):
+        cnorm += C[:, j] * C[:, j]
+    cnorm = np.sqrt(cnorm)
+    bc = emb.sparkSession.sparkContext.broadcast((cids, C, cnorm))
+    return bc, min(n_probe, len(cids))
+
+
+def _cos_to_cents(x, C, cnorm):
+    """Fold-order-exact cosine of a row block against the centroid block:
+    dot and norms accumulate dimension-by-dimension ascending — the left
+    fold ``((0+t1)+t2)+...`` the DuckDB oracle and ``cosine_expr``
+    evaluate. Zero-norm vector or centroid -> NaN cosine; the SQL spec
+    (ORDER BY cos DESC) would rank NaN first in DuckDB while a stable
+    argsort on -cos ranks it last — pin the semantics: a zero-norm
+    pairing is "no similarity", ranked LAST (-inf)."""
+    import numpy as np
+
+    n = x.shape[0]
+    dot = np.zeros((n, C.shape[0]))
+    xnorm = np.zeros(n)
+    for j in range(C.shape[1]):
+        dot += np.outer(x[:, j], C[:, j])
+        xnorm += x[:, j] * x[:, j]
+    xnorm = np.sqrt(xnorm)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = dot / (xnorm[:, None] * cnorm[None, :])
+    return np.where(np.isnan(cos), -np.inf, cos)
 
 
 def cosine_topk(emb: DataFrame, query_vec_id: int, k: int,
@@ -250,6 +269,97 @@ def ann_ivf_topk(emb: DataFrame, query_vec_id: int, k: int,
     )
 
 
+def _cells_with_vec_np(emb: DataFrame, n_centroids: int, n_probe: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """(cell, vec_id, v) — each vector posted to its ``n_probe`` nearest
+    cells WITH its raw vector carried along, in the same single Arrow
+    pass as ``_cell_ranks_np`` (same fold-order-exact cosine, same
+    zero-norm/rank semantics). Carrying the vector here means the
+    within-cell pairing needs no join back to the embedding table."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    bc, n_probe = _centroid_state(emb, n_centroids, n_probe, id_col,
+                                  vec_col)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, C, cnorm = bc.value
+        for pdf in batches:
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos = _cos_to_cents(x, C, cnorm)
+            idx = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame({
+                "cell": cids[idx].ravel(),
+                "vec_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "v": np.repeat(pdf[vec_col].to_numpy(), n_probe),
+            })
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        fn, schema="cell bigint, vec_id bigint, v array<float>"
+    )
+
+
+def _pairs_within_cells(posted: DataFrame, threshold: float,
+                        dedup_pairs: bool) -> DataFrame:
+    """Exact all-pairs cosine WITHIN each cell — one cogrouped numpy pass
+    per cell (``groupBy(cell).applyInPandas``) instead of a Catalyst
+    self-join with a d-wide unrolled cosine expression. Same results,
+    but: no Janino compile of a d=64 expression tree (~1-3 s per plan),
+    no join machinery per candidate row, and the m x m cell block runs at
+    numpy memory bandwidth. The cosine accumulates dimension-by-dimension
+    in ascending order — the identical left-fold sequencing as
+    ``cosine_expr`` / the DuckDB ``list_sum`` oracles, so values are
+    bit-equal to the round-2 expression formulation.
+
+    Scale: a cell of m vectors costs O(m^2) — bounded by the cells_for(n)
+    ~ sqrt(n) sizing exactly as before (the cogroup moves the constant
+    factor, not the asymptotics). NaN cosines (zero-norm vectors) are
+    kept, mirroring Spark/DuckDB NaN-compares-greater semantics in the
+    ``cos >= t`` filter.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def pair_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        dot = np.zeros((m, m))
+        nrm = np.zeros(m)
+        for j in range(d):
+            col = X[:, j]
+            dot += col[:, None] * col[None, :]
+            nrm += col * col
+        nrm = np.sqrt(nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = dot / (nrm[:, None] * nrm[None, :])
+        ia, ib = np.triu_indices(m, 1)
+        cv = cos[ia, ib]
+        keep = (cv >= threshold) | np.isnan(cv)
+        return pd.DataFrame({
+            "vec_a": ids[ia][keep],
+            "vec_b": ids[ib][keep],
+            "cos": cv[keep],
+        })
+
+    pairs = posted.groupBy("cell").applyInPandas(
+        pair_fn, schema="vec_a bigint, vec_b bigint, cos double"
+    )
+    if dedup_pairs:
+        # multi-probe posts a pair to up to probe^2 shared cells; the
+        # duplicates carry the identical cos, so any-row-wins is exact
+        pairs = pairs.dropDuplicates(["vec_a", "vec_b"])
+    return pairs.select(
+        "vec_a", "vec_b",
+        F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"),
+    )
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding",
@@ -262,33 +372,13 @@ def embedding_near_dup(emb: DataFrame, threshold: float,
     must scale with the corpus (``cells_for(n)`` ~ sqrt(n) keeps expected
     cell size ~sqrt(n)); assign to the top-2 cells (multi-probe) when
     recall across cell boundaries matters — both change the candidate
-    set, so the fixture query pins C=16 single-probe to match its oracle."""
-    dim = _dim_of(emb, vec_col)
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col).select(
-        F.col("vec_id").alias("cand_id"), "cell"
-    )
-    # materialize (id, vec, cell) once — both sides of the within-cell
-    # self-join read it instead of re-running the assignment
-    # NB: a norm-precompute + dot-only variant measured 2-3x SLOWER here
-    # (the split expression defeated codegen fusion on the join output);
-    # the single fused cosine expression is the fast shape
-    e = emb.join(assign, F.col(id_col) == F.col("cand_id")).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
-    ).localCheckpoint(eager=True)
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine_expr_fixed(F.col("a.v"), F.col("b.v"), dim)
-    return (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("vec_a"),
-            F.col("b.id").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= F.lit(threshold))
-        .select("vec_a", "vec_b",
-                F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
-    )
+    set, so the fixture query pins C=16 single-probe to match its oracle.
+
+    Plan shape: ONE Arrow assignment pass (vector carried along) -> one
+    shuffle on cell -> cogrouped numpy pairing (``_pairs_within_cells``).
+    """
+    posted = _cells_with_vec_np(emb, n_centroids, 1, id_col, vec_col)
+    return _pairs_within_cells(posted, threshold, dedup_pairs=False)
 
 
 def ivf_assign_multi(emb: DataFrame, n_centroids: int = N_CENTROIDS,
@@ -311,33 +401,8 @@ def embedding_near_dup_multiprobe(emb: DataFrame, threshold: float,
     generation: vectors are posted to their ``n_probe`` nearest cells, so
     pairs split across a cell boundary (the single-probe recall gap) are
     still candidates when any of their probed cells coincide. Exact
-    cosine verification per candidate, as in ``embedding_near_dup``."""
-    dim = _dim_of(emb, vec_col)
-    assign = ivf_assign_multi(emb, n_centroids, n_probe, id_col, vec_col) \
-        .select(F.col("vec_id").alias("cand_id"), "cell")
-    # dedup the candidate PAIR IDS first (tiny rows), then attach vectors
-    # — a dropDuplicates over pair rows already carrying both vectors
-    # shuffled |pairs| x 2 x d floats (measured: gigabytes at bench scale,
-    # the dominant cost of this query)
-    assign2 = assign.localCheckpoint(eager=True)
-    a, b = assign2.alias("a"), assign2.alias("b")
-    cand_ids = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell"))
-               & (F.col("a.cand_id") < F.col("b.cand_id")))
-        .select(F.col("a.cand_id").alias("ida"),
-                F.col("b.cand_id").alias("idb"))
-        .dropDuplicates(["ida", "idb"])
-    )
-    va = emb.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("vb"))
-    cos = cosine_expr_fixed(F.col("va"), F.col("vb"), dim)
-    return (
-        cand_ids.join(va, "ida").join(vb, "idb")
-        .select(
-            F.col("ida").alias("vec_a"), F.col("idb").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .where(F.col("cos") >= F.lit(threshold))
-        .select("vec_a", "vec_b",
-                F.round(F.col("cos") * 1e6).cast("bigint").alias("cos_u6"))
-    )
+    cosine verification per candidate, as in ``embedding_near_dup`` —
+    same single-assignment-pass + cogrouped-pairing plan, plus one
+    pair-id dedup (duplicates bounded by probe^2 per pair)."""
+    posted = _cells_with_vec_np(emb, n_centroids, n_probe, id_col, vec_col)
+    return _pairs_within_cells(posted, threshold, dedup_pairs=True)

