@@ -76,6 +76,30 @@ def test_cluster_metrics_consistent(spark, emb_np):
         assert r["sum_dist2_q"] == exp_sum
 
 
+def test_yinyang_matches_brute(spark, emb_np):
+    """Yinyang-bounded training must return the BIT-IDENTICAL centroid
+    grid as the brute trainer, and the bounds must actually prune."""
+    emb, ids, x = emb_np
+    brute = clustering.train_kmeans(emb, K, ITERS)
+    fast, stats = clustering.train_kmeans_yinyang(emb, K, ITERS)
+    assert (fast == brute).all()
+    # after the first update the bounds should skip a nonzero fraction
+    assert sum(stats["pruned_per_iter"][1:]) > 0
+
+
+def test_yinyang_matches_brute_grouped(spark, emb_np):
+    """Same equality with k large enough for multiple Yinyang groups
+    (exercises the per-group lower-bound bookkeeping, n_groups > 1)."""
+    emb, ids, x = emb_np
+    k, iters = 16, 4
+    brute = clustering.train_kmeans(emb, k, iters)
+    fast, stats = clustering.train_kmeans_yinyang(
+        emb, k, iters, n_groups=4
+    )
+    assert (fast == brute).all()
+    assert sum(stats["pruned_per_iter"][1:]) > 0
+
+
 def test_assign_fixed_matches_kmeans_round0(spark, emb_np):
     """Catalyst fixed-centroid assignment == Arrow-UDF assignment."""
     emb, ids, x = emb_np

@@ -117,6 +117,20 @@ def test_kernels_match_naive(a, b):
     )
 
 
+@pytest.mark.parametrize("measure", kernels.MEASURES)
+def test_batched_kernels_bitexact_scalar(measure):
+    """Doc-batched kernels must equal the scalar spec BIT-FOR-BIT on
+    ragged random blocks (the batched forms run the same per-cell op
+    sequence vectorized across docs)."""
+    rng = np.random.default_rng(7)
+    q = rng.random(kernels.SEQ_PREFIX)
+    seqs = [rng.random(rng.integers(1, kernels.SEQ_PREFIX + 1))
+            for _ in range(40)]
+    got = kernels.score_block(seqs, q, measure)
+    exp = np.array([kernels.KERNELS[measure](s, q) for s in seqs])
+    assert (got == exp).all()  # bitwise, not approx
+
+
 def test_lcss_band_limits_matches():
     a = np.linspace(0, 1, 30)
     assert kernels.lcss(a, a, 0.01, theta=0) == 30.0

@@ -246,6 +246,190 @@ def train_kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5,
     return cents
 
 
+# ------------------- Yinyang-bounded training (X1) -----------------------
+#
+# The reference accelerates Lloyd with Yinyang bound bookkeeping
+# (``clustering/trajectory/kpaths/Yinyang.java:302-438``): per-point upper
+# bound on the distance to its assigned center, per-GROUP lower bounds on
+# the distance to every other center, bounds drifted by centroid movement
+# each iteration; points whose ub stays below every group lb skip distance
+# computation entirely. Re-expressed here on the fixed-point grid:
+#
+# * bounds are float64 sqrt of exact int64 squared distances, drifted by
+#   exact per-centroid movements; pruning uses a relative slack margin
+#   (~1e-9, ~10^7x the accumulated float error) so a prune is only taken
+#   when the triangle inequality STRICTLY guarantees the assignment —
+#   ties always fall through to the exact integer argmin, hence the
+#   centroid sequence is BIT-IDENTICAL to ``train_kmeans``
+#   (tests/test_clustering.py asserts equality + that pruning fires);
+# * state (q, cluster, ub, per-group lbs) rides one DataFrame,
+#   localCheckpoint'ed per iteration — Yinyang's classic memory-for-
+#   compute trade, O(n x (d + G)) state instead of O(n x k) distance
+#   work per iteration. The only shuffle is still the k x (d+2) partial
+#   sums; everything else is map-side.
+#
+# Simplification vs the reference: failing points go straight to the
+# exact all-centroid argmin (no per-point tighten-ub retest, no per-group
+# third filter) — at the reference's k-paths scale the group filter
+# matters, and the group lbs maintained here are exactly what it needs;
+# the exact pass is vectorized numpy either way.
+
+def _group_centroids(cents_q: np.ndarray, n_groups: int) -> np.ndarray:
+    """Deterministic centroid grouping (the reference groups centers by
+    clustering them, Yinyang.java t=k/10): a few numpy Lloyd rounds over
+    the centroids themselves, seeded by the first n_groups centroids.
+    Grouping affects pruning RATE only, never results."""
+    C = cents_q.astype(np.float64)
+    G = C[:n_groups].copy()
+    a = np.zeros(len(C), dtype=np.int64)
+    for _ in range(3):
+        d = ((C[:, None, :] - G[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        for g in range(n_groups):
+            m = C[a == g]
+            if len(m):
+                G[g] = m.mean(axis=0)
+    return a
+
+
+def _exact_bounds(xq: np.ndarray, C: np.ndarray, group_of: np.ndarray,
+                  n_groups: int):
+    """Exact assignment + fresh bounds for a row block: a = int64 argmin
+    (ties -> lowest centroid id, the _assign_q rule), ub = dist to the
+    assigned center, lbs[g] = min dist to group g EXCLUDING the assigned
+    center (+inf when the exclusion empties the group)."""
+    d2 = ((xq[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    a = np.argmin(d2, axis=1)
+    dist = np.sqrt(d2.astype(np.float64))
+    ub = dist[np.arange(len(a)), a]
+    lbs = np.full((len(a), n_groups), np.inf)
+    for c in range(C.shape[0]):
+        g = int(group_of[c])
+        dc = np.where(a == c, np.inf, dist[:, c])
+        lbs[:, g] = np.minimum(lbs[:, g], dc)
+    return a, ub, lbs
+
+
+def train_kmeans_yinyang(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_groups: int | None = None,
+) -> tuple[np.ndarray, dict]:
+    """Yinyang-bounded fixed-point Lloyd training. Returns
+    (centroids k x d int64, stats) where stats["pruned_per_iter"] counts
+    the points that skipped the exact distance pass each iteration.
+    Centroids are bit-identical to ``train_kmeans`` (see module note)."""
+    spark = emb.sparkSession
+    cents = init_centroids_q(emb, k, id_col, vec_col)
+    ng = n_groups if n_groups is not None else max(1, k // 10)
+    group_of = _group_centroids(cents, ng)
+    d = int(cents.shape[1])
+    state_schema = ("vec_id bigint, q array<bigint>, cluster int, "
+                    "ub double, lbs array<double>, pruned boolean")
+    sums_cols = ["cluster", "n", "np"] + [f"s{i}" for i in range(d)]
+    sums_schema = "cluster int, n bigint, np bigint, " + ", ".join(
+        f"s{i} bigint" for i in range(d)
+    )
+
+    bc0 = spark.sparkContext.broadcast((cents, group_of))
+
+    def init_fn(batches):
+        C, gof = bc0.value
+        for pdf in batches:
+            xq = quant_np(np.stack(pdf[vec_col].to_numpy()))
+            a, ub, lbs = _exact_bounds(xq, C, gof, ng)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "q": list(xq),
+                "cluster": a.astype(np.int32),
+                "ub": ub,
+                "lbs": list(lbs),
+                "pruned": np.zeros(len(a), dtype=bool),
+            })
+
+    state = emb.select(id_col, vec_col).mapInPandas(
+        init_fn, schema=state_schema
+    ).localCheckpoint(eager=True)
+
+    def sums_of(st: DataFrame) -> list:
+        def fn(batches):
+            for pdf in batches:
+                xq = np.stack(pdf["q"].to_numpy())
+                a = pdf["cluster"].to_numpy()
+                npr = pdf["pruned"].to_numpy()
+                rows = []
+                for cl in np.unique(a):
+                    m = a == cl
+                    rows.append((int(cl), int(m.sum()),
+                                 int(npr[m].sum()), *xq[m].sum(axis=0)))
+                yield pd.DataFrame(rows, columns=sums_cols)
+
+        part = st.select("q", "cluster", "pruned").mapInPandas(
+            fn, schema=sums_schema
+        )
+        return part.groupBy("cluster").agg(
+            F.sum("n").alias("n"), F.sum("np").alias("np"),
+            *[F.sum(f"s{i}").alias(f"s{i}") for i in range(d)],
+        ).collect()
+
+    pruned_per_iter: list[int] = []
+    for it in range(n_iter):
+        rows = sums_of(state)
+        pruned_per_iter.append(sum(int(r["np"]) for r in rows))
+        new = cents.copy()
+        for r in rows:
+            n = float(r["n"])
+            for i in range(d):
+                new[r["cluster"], i] = math.floor(float(r[f"s{i}"]) / n + 0.5)
+        if it == n_iter - 1:
+            cents = new
+            break
+        delta = np.sqrt(
+            ((new - cents).astype(np.float64) ** 2).sum(axis=1)
+        )
+        gmax = np.zeros(ng)
+        for c in range(k):
+            g = int(group_of[c])
+            gmax[g] = max(gmax[g], delta[c])
+        cents = new
+        bc = spark.sparkContext.broadcast((cents, delta, gmax, group_of))
+
+        def step_fn(batches):
+            C, dlt, gm, gof = bc.value
+            for pdf in batches:
+                xq = np.stack(pdf["q"].to_numpy())
+                a = pdf["cluster"].to_numpy().astype(np.int64)
+                ub = pdf["ub"].to_numpy() + dlt[a]
+                lbs = np.stack(pdf["lbs"].to_numpy()) - gm[None, :]
+                lbmin = lbs.min(axis=1)
+                # strict-with-margin: prune ONLY when no other center can
+                # possibly tie — ties fall through to the exact argmin
+                eps = 1e-9 * (np.abs(ub) + np.abs(lbmin)) + 1e-12
+                ok = ub + eps < lbmin
+                fail = ~ok
+                if fail.any():
+                    af, ubf, lbsf = _exact_bounds(xq[fail], C, gof, ng)
+                    a[fail] = af
+                    ub[fail] = ubf
+                    lbs[fail] = lbsf
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "q": list(xq),
+                    "cluster": a.astype(np.int32),
+                    "ub": ub,
+                    "lbs": list(lbs),
+                    "pruned": ok,
+                })
+
+        state = state.mapInPandas(
+            step_fn, schema=state_schema
+        ).localCheckpoint(eager=True)
+    return cents, {"pruned_per_iter": pruned_per_iter}
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -437,14 +621,18 @@ def cluster_paths(docs: DataFrame, groups: DataFrame, steps: int = 3,
         "grp", F.col("a").alias("t0"), F.col("b").alias("t1"),
         F.col("cnt").alias("support"),
     )
+    # the best-continuation table is step-independent — build it ONCE
+    # (k x vocab rows, one aggregation) and reuse it for every extension
+    # step instead of re-aggregating the full bigram counts per step
+    ext = best(
+        counts.select("grp", F.col("a"), F.col("b"), "cnt"),
+        ["grp", "a"],
+    ).select(F.col("grp").alias("g2"), F.col("a").alias("pa"),
+             F.col("b").alias("nb"), F.col("cnt").alias("c2")) \
+        .localCheckpoint(eager=True)
     state = head
     for s in range(steps - 1):
         prev_t = f"t{s + 1}"
-        ext = best(
-            counts.select("grp", F.col("a"), F.col("b"), "cnt"),
-            ["grp", "a"],
-        ).select(F.col("grp").alias("g2"), F.col("a").alias("pa"),
-                 F.col("b").alias("nb"), F.col("cnt").alias("c2"))
         state = (
             state.join(
                 ext,

