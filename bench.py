@@ -9,9 +9,12 @@ local[$SPARK_GRAFT_CPUS]:
 2. top-k BM25 query latency p50/p99 over the reference query set against
    the built index;
 3. per-query wall time of the driver-table queries() entries;
-4. scaling evidence: the same build at N=8 and 4N=32 cores on identical
-   input -> efficiency = (files/s @ 4N) / (4 * files/s @ N)   (north rule's
-   two-cluster-size criterion, evidenced at two local parallelism levels).
+4. scaling evidence: the same build at N and 4N cores (default 1 and 4,
+   see SCALE_LOW/HIGH note) on identical input, a FIXED pre-declared
+   number of interleaved rounds -> efficiency = (files/s @ 4N) /
+   (4 * files/s @ N), reported both best-of and median-of-rounds
+   (north rule's two-cluster-size criterion, evidenced at two local
+   parallelism levels).
 
 Sizing: corpus rows = SPARK_GRAFT_BENCH_ROWS (default 100_000 ~ bench scale
 per FIXTURES.md §1); scaling pair uses SPARK_GRAFT_SCALE_ROWS (default

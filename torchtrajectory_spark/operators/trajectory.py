@@ -132,6 +132,135 @@ def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
     )
 
 
+GRID_ROWS = 24  # 120 / 5 (lat in [-60, 60))
+
+
+def _hav_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
+    """Driver-side haversine, same formula shape as functions/geo."""
+    import math
+
+    rlat1, rlat2 = math.radians(lat1), math.radians(lat2)
+    dlat = math.radians(lat2 - lat1) / 2
+    dlng = math.radians(lng2 - lng1) / 2
+    a = (math.sin(dlat) ** 2
+         + math.cos(rlat1) * math.cos(rlat2) * math.sin(dlng) ** 2)
+    return 2.0 * 6371000.0 * math.asin(math.sqrt(a))
+
+
+def _cell_bounds(r: int, c: int) -> tuple[float, float, float, float]:
+    return (GRID_LAT0 + r * GRID_CELL_DEG,
+            GRID_LAT0 + (r + 1) * GRID_CELL_DEG,
+            GRID_LNG0 + c * GRID_CELL_DEG,
+            GRID_LNG0 + (c + 1) * GRID_CELL_DEG)
+
+
+def _cell_min_dist(lat_c: float, lng_c: float, r: int, c: int) -> float:
+    """Min haversine from the center to a grid cell: distance to the
+    lat/lng-clamped point (exact for axis-aligned boxes away from the
+    antimeridian), shrunk by a 1e-9 relative margin so the bound is
+    conservative against float error."""
+    lo_lat, hi_lat, lo_lng, hi_lng = _cell_bounds(r, c)
+    clat = min(max(lat_c, lo_lat), hi_lat)
+    clng = min(max(lng_c, lo_lng), hi_lng)
+    return _hav_py(lat_c, lng_c, clat, clng) * (1.0 - 1e-9)
+
+
+def _cell_max_dist(lat_c: float, lng_c: float, r: int, c: int) -> float:
+    """Max haversine from the center to a grid cell (a corner), widened
+    by a 1e-9 relative margin."""
+    lo_lat, hi_lat, lo_lng, hi_lng = _cell_bounds(r, c)
+    return max(
+        _hav_py(lat_c, lng_c, la, ln)
+        for la in (lo_lat, hi_lat) for ln in (lo_lng, hi_lng)
+    ) * (1.0 + 1e-9)
+
+
+def knn_points(points: DataFrame, lat_c: float, lng_c: float,
+               k: int) -> DataFrame:
+    """k nearest points to a center — J5's INCREMENTAL RING EXPANSION
+    (``VertexGridIndex.incrementallyFind:338-393``): grow Chebyshev rings
+    of grid cells around the center cell until >= k candidates are
+    covered, bound the k-th distance by the farthest corner of the
+    covered non-empty cells, then add every cell whose nearest point can
+    still beat that bound. Exact: the final candidate cell set provably
+    contains the true top-k, and the refine orders by exact haversine
+    (ties -> event_id ASC). Returns (event_id, user_id, dist_m).
+
+    Scale shape: job 1 is the per-cell histogram (the vertex-grid index's
+    cell counts — prebuilt index-side in the reference, one bounded-
+    cardinality aggregation here); the ring walk runs on the driver over
+    that histogram (grid-sized, tiny); job 2 scans ONLY the selected
+    cells (cell predicate pushed into the scan) and TakeOrderedAndProject
+    merges per-partition top-k heaps. No shuffle except the final k-row
+    merge.
+    """
+    import math
+
+    from ..functions.geo import tile_id
+
+    pts = points.withColumn(
+        "cell",
+        tile_id(F.col("lat"), F.col("lng"), GRID_LAT0, GRID_LNG0,
+                GRID_CELL_DEG, GRID_COLS),
+    )
+    hist = {
+        int(r["cell"]): int(r["n"])
+        for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    r0 = min(max(int(math.floor((lat_c - GRID_LAT0) / GRID_CELL_DEG)), 0),
+             GRID_ROWS - 1)
+    c0 = min(max(int(math.floor((lng_c - GRID_LNG0) / GRID_CELL_DEG)), 0),
+             GRID_COLS - 1)
+
+    def ring(level: int) -> list[tuple[int, int]]:
+        if level == 0:
+            return [(r0, c0)]
+        out = []
+        for r in range(r0 - level, r0 + level + 1):
+            for c in range(c0 - level, c0 + level + 1):
+                if max(abs(r - r0), abs(c - c0)) == level \
+                        and 0 <= r < GRID_ROWS and 0 <= c < GRID_COLS:
+                    out.append((r, c))
+        return out
+
+    covered: list[tuple[int, int]] = []
+    cum = 0
+    max_level = max(GRID_ROWS, GRID_COLS)
+    for level in range(max_level + 1):
+        cells = ring(level)
+        covered.extend(cells)
+        cum += sum(hist.get(r * GRID_COLS + c, 0) for r, c in cells)
+        if cum >= k:
+            break
+    if cum == 0:
+        return pts.select("event_id", "user_id").where(F.lit(False)) \
+            .withColumn("dist_m", F.lit(0).cast("bigint"))
+    # k-th nearest is at most the farthest corner of the covered
+    # NON-EMPTY cells (they hold >= min(k, total) candidates); admit
+    # every cell whose nearest point could still beat that
+    d_ub = max(
+        _cell_max_dist(lat_c, lng_c, r, c)
+        for r, c in covered if hist.get(r * GRID_COLS + c, 0) > 0
+    )
+    final_cells = sorted(
+        r * GRID_COLS + c
+        for r in range(GRID_ROWS) for c in range(GRID_COLS)
+        if hist.get(r * GRID_COLS + c, 0) > 0
+        and _cell_min_dist(lat_c, lng_c, r, c) <= d_ub
+    )
+    dist = haversine_m(F.col("lat"), F.col("lng"),
+                       F.lit(float(lat_c)), F.lit(float(lng_c)))
+    return (
+        pts.where(F.col("cell").isin(final_cells))
+        .select("event_id", "user_id", dist.alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col("event_id").asc())
+        .limit(k)
+        .select("event_id", "user_id",
+                F.round(F.col("dist")).cast("bigint").alias("dist_m"))
+    )
+
+
 DENSIFY_STEP_DEG = 5.0
 
 

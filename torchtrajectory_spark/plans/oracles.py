@@ -364,6 +364,30 @@ WHERE {hav} <= {radius_m!r}
 """.strip()
 
 
+def knn_points_sql(lat_c: float, lng_c: float, k: int) -> str:
+    """k-NN oracle (J5): exhaustive haversine ORDER BY + LIMIT — the ring
+    expansion is a candidate strategy only; results must be identical."""
+    hav = (
+        f"2.0 * 6371000.0 * asin(sqrt("
+        f"sin(radians({lat_c!r} - lat) / 2) * sin(radians({lat_c!r} - lat) / 2)"
+        f" + cos(radians(lat)) * cos(radians({lat_c!r}))"
+        f" * sin(radians({lng_c!r} - lng) / 2) * sin(radians({lng_c!r} - lng) / 2)"
+        f"))"
+    )
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+)
+SELECT event_id, user_id, CAST(round({hav}) AS BIGINT) AS dist_m
+FROM pts
+ORDER BY {hav} ASC, event_id ASC
+LIMIT {k}
+""".strip()
+
+
 def densify_hops_sql(step_deg: float, user_id: int) -> str:
     """J8 densification oracle: same lag pairing, same closed-form step
     count (no trig), same interpolation op order, same single-user

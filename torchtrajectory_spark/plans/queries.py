@@ -381,6 +381,20 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KNN_K = 25
+
+
+def q_knn_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — incremental ring-expansion k-NN around the radius center
+    (``VertexGridIndex.incrementallyFind:338-393``)."""
+    from ..operators import trajectory
+
+    return trajectory.knn_points(
+        trajectory.synth_points(_events(spark, sf_dir)),
+        *RADIUS_CENTER, KNN_K,
+    )
+
+
 DENSIFY_USER = 7
 
 
@@ -618,6 +632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_filter_contains": q_time_filter_contains,  # r01 only
     "time_span_overlap": q_time_span_overlap,        # r01 only
     "dedup_jaccard_pairs_exact": q_dedup_jaccard_exact,  # new in r3
+    "knn_points": q_knn_points,                          # new in r3
     # -- body --
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
@@ -643,8 +658,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
     "cluster_paths": q_cluster_paths,
-    "media_features": q_media_features,
-    "media_frame_sample": q_media_frame_sample,
     "sim_ebd_topk": q_sim_ebd_topk,
     "user_hops": q_user_hops,
     "points_in_window": q_points_in_window,
@@ -657,6 +670,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bool_or_indexed": q_bool_or_indexed,
     "bool_and_indexed": q_bool_and_indexed,
     # -- tail: driver-green in BOTH r01 and r02; rotate out this round --
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
     "best_then_combine": q_best_then_combine,
     "dedup_exact": q_dedup_exact,
     "simhash": q_simhash,
@@ -724,6 +739,7 @@ ORACLES: dict[str, str] = {
         *RADIUS_CENTER, RADIUS_M
     ),
     "densify_hops": oracles.densify_hops_sql(DENSIFY_STEP, DENSIFY_USER),
+    "knn_points": oracles.knn_points_sql(*RADIUS_CENTER, KNN_K),
     "cluster_first_assign": oracles_ext.first_assign_index_sql(
         FIRST_ASSIGN_K
     ),
