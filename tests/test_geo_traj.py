@@ -106,3 +106,46 @@ def test_points_in_radius_equals_plain_predicate(spark):
     exp = {r["event_id"]
            for r in pts.where(dist <= 2e6).select("event_id").collect()}
     assert got == exp and len(got) > 0
+
+
+def test_knn_ring_expansion_equals_bruteforce(spark):
+    """Ring-expansion candidates must be invisible: knn == exhaustive
+    (dist ASC, event_id ASC) LIMIT k — at several centers and k values,
+    including a center far from any point and k > cell population."""
+    from pyspark.sql import functions as F
+
+    from torchtrajectory_spark.functions.geo import haversine_m
+    from torchtrajectory_spark.operators.trajectory import (
+        knn_points, synth_points,
+    )
+    from torchtrajectory_spark.sources.tables import load_table
+
+    pts = synth_points(load_table(spark, "/root/testdata/sf0.001", "events"))
+    for (lat, lng, k) in [(-10.0, -30.0, 25), (55.0, 170.0, 7),
+                          (0.0, 0.0, 200)]:
+        dist = haversine_m(F.col("lat"), F.col("lng"),
+                           F.lit(lat), F.lit(lng))
+        exp = [
+            (r["event_id"], r["dist_m"])
+            for r in pts.select(
+                "event_id", F.round(dist).cast("bigint").alias("dist_m"),
+                dist.alias("d"),
+            ).orderBy(F.col("d").asc(), F.col("event_id").asc())
+            .limit(k).collect()
+        ]
+        got = [
+            (r["event_id"], r["dist_m"])
+            for r in knn_points(pts, lat, lng, k).collect()
+        ]
+        assert got == exp, (lat, lng, k)
+
+
+def test_engine_find_knn_facade(spark):
+    from torchtrajectory_spark.engine import Engine
+    from torchtrajectory_spark.operators.trajectory import synth_points
+    from torchtrajectory_spark.sources.tables import load_table
+
+    pts = synth_points(load_table(spark, "/root/testdata/sf0.001", "events"))
+    rows = Engine.find_knn(pts, -10.0, -30.0, k=5).collect()
+    assert len(rows) == 5
+    assert [r["dist_m"] for r in rows] == sorted(r["dist_m"] for r in rows)

@@ -137,6 +137,17 @@ class Engine:
 
         return points_in_radius(points, lat, lng, radius_m)
 
+    @staticmethod
+    def find_knn(points: DataFrame, lat: float, lng: float,
+                 k: int = DEFAULT_K) -> DataFrame:
+        """k nearest points to a center (the reference's incremental ring
+        search, ``VertexGridIndex.incrementallyFind:338-393`` / J5): grid
+        rings expand over the cell histogram until the k-th distance is
+        provably bounded, then an exact haversine refine."""
+        from .operators.trajectory import knn_points
+
+        return knn_points(points, lat, lng, k)
+
     def resolve(self, result: DataFrame) -> DataFrame:
         """Join a (doc_id, ...) result against the doc store metadata —
         the TrajectoryResolver step (J7)."""
