@@ -401,9 +401,23 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
     und = und1.union(two_hop).distinct().persist()
     # tiny (pairs only); referenced once per propagation round — without
     # this the whole candidate+verify subtree re-executes n_iters times
-    labels = df.select(F.col(id_col).alias("doc_id"),
-                       F.col(id_col).alias("label"))
-    for _ in range(n_iters):
+    #
+    # label propagation runs over the EDGE-TOUCHED docs only (und is
+    # undirected, so doc_a covers every endpoint): singletons can never
+    # change label, and at corpus scale the dup subgraph is orders of
+    # magnitude smaller than the corpus — per-round shuffle volume is
+    # bounded by the near-dup population, and the corpus-sized work is
+    # exactly one final left join.
+    # round 1 fused into the init: min-label round 1 from an identity
+    # labeling is exactly label = min(self, min neighbor), one groupBy —
+    # saves the separate touched-docs distinct AND the first join round
+    labels = (
+        und.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("minb"))
+        .select("doc_id",
+                F.least(F.col("doc_id"), F.col("minb")).alias("label"))
+    )
+    for _ in range(n_iters - 1):
         neigh = (
             und.join(labels, und["doc_b"] == labels["doc_id"])
             .select(F.col("doc_a").alias("doc_id"),
@@ -416,9 +430,16 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
         )
     # materialize eagerly (truncates lineage), then release the cached
     # edge blocks — repeated invocations no longer leak storage
-    out = labels.select(
-        "doc_id", F.col("label").alias("keep_doc_id")
-    ).localCheckpoint(eager=True)
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id"))
+            .alias("keep_doc_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
     und.unpersist()
     return out
 

@@ -96,7 +96,7 @@ def cosine_expr_fixed(a, b, dim: int):
 
 
 def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
-                   id_col: str, vec_col: str) -> DataFrame:
+                   id_col: str, vec_col: str, state=None) -> DataFrame:
     """(vec_id, cell, rank<=n_probe) — Arrow-batched nearest-cells.
 
     BIT-IDENTICAL to the SQL/fold cosine: the dot and norm accumulate
@@ -111,8 +111,9 @@ def _cell_ranks_np(emb: DataFrame, n_centroids: int, n_probe: int,
     import pandas as pd
     from collections.abc import Iterator
 
-    bc, n_probe = _centroid_state(emb, n_centroids, n_probe, id_col,
-                                  vec_col)
+    bc, n_probe = (state if state is not None
+                   else _centroid_state(emb, n_centroids, n_probe, id_col,
+                                        vec_col))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cids, C, cnorm = bc.value
@@ -205,7 +206,8 @@ def cosine_topk(emb: DataFrame, query_vec_id: int, k: int,
 
 
 def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               state=None) -> DataFrame:
     """(vec_id, cell) — nearest centroid by cosine; centroids are the first
     ``n_centroids`` vectors by id (training-free, deterministic).
 
@@ -220,9 +222,8 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     pass (``_cell_ranks_np``) — results unchanged from the crossJoin +
     map-side min(struct) formulation and the SQL oracle, with no join or
     shuffle at all."""
-    return _cell_ranks_np(emb, n_centroids, 1, id_col, vec_col).select(
-        "vec_id", "cell"
-    )
+    return _cell_ranks_np(emb, n_centroids, 1, id_col, vec_col,
+                          state=state).select("vec_id", "cell")
 
 
 def ann_ivf_topk(emb: DataFrame, query_vec_id: int, k: int,
@@ -233,22 +234,31 @@ def ann_ivf_topk(emb: DataFrame, query_vec_id: int, k: int,
     Deterministic approximate algorithm — the DuckDB oracle runs the same
     algorithm and must agree exactly (not merely approximately).
     """
-    assign = ivf_assign(emb, n_centroids, id_col, vec_col)
-    cents = emb.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    import numpy as np
+
+    # probe selection runs DRIVER-SIDE over the already-collected C x d
+    # centroid block (bounded state): the same fold-order-exact cosine +
+    # (cos DESC, cent_id ASC) ranking the SQL oracle evaluates, without
+    # the crossJoin+sort+limit subplan the round-2 version planned per
+    # query. The probed cells become a literal IN filter on the
+    # assignment — at scale, partition pruning on a cell-partitioned
+    # assignment table.
+    bc, n_probe = _centroid_state(emb, n_centroids, n_probe, id_col,
+                                  vec_col)
+    assign = ivf_assign(emb, n_centroids, id_col, vec_col,
+                        state=(bc, 1))
+    cids, C, cnorm = bc.value
+    qrow = emb.where(F.col(id_col) == query_vec_id) \
+        .select(vec_col).first()
+    qv = np.array(list(qrow[0]), dtype=np.float64)[None, :]
+    qcos = _cos_to_cents(qv, C, cnorm)[0]
+    order = np.argsort(-qcos, kind="stable")[:n_probe]
+    probe_cells = [int(c) for c in cids[order]]
+    cands = assign.where(F.col("cell").isin(probe_cells)).select(
+        F.col("vec_id").alias("cand_id")
     )
     q = emb.where(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("qvec")
-    )
-    probe_cells = (
-        cents.crossJoin(F.broadcast(q))
-        .select("cent_id", cosine_expr(F.col("cvec"), F.col("qvec")).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("cent_id").asc())
-        .limit(n_probe)
-        .select(F.col("cent_id").alias("cell"))
-    )
-    cands = assign.join(F.broadcast(probe_cells), "cell").select(
-        F.col("vec_id").alias("cand_id")
     )
     scored = (
         emb.join(cands, F.col(id_col) == F.col("cand_id"))
