@@ -52,3 +52,58 @@ def test_compression_ratio_sequential():
     enc = codec.encode_sorted(v)
     assert len(enc) < 110_000  # ~1.05 bytes per posting
     assert (codec.decode_sorted(enc) == v).all()
+
+
+# --- batch (run-sliced) variants: byte-identity vs per-run calls ---------
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+             min_size=1, max_size=300),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_u64_runs_byte_identity(xs, data):
+    v = np.array(xs, dtype=np.uint64)
+    cuts = data.draw(
+        st.lists(st.integers(min_value=1, max_value=len(xs)), max_size=8)
+    )
+    starts = np.array(sorted({0, *cuts} - {len(xs)}), dtype=np.int64)
+    got = codec.encode_u64_runs(v, starts)
+    bounds = np.concatenate([starts, [len(xs)]])
+    want = [codec.encode_u64(v[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+    assert got == want
+    counts = np.diff(bounds)
+    back = codec.decode_u64_concat(got, counts)
+    assert (back == v).all()
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**62),
+             min_size=1, max_size=300).map(sorted),
+    st.data(),
+)
+@settings(max_examples=150, deadline=None)
+def test_sorted_runs_byte_identity(xs, data):
+    v = np.array(xs, dtype=np.int64)
+    cuts = data.draw(
+        st.lists(st.integers(min_value=1, max_value=len(xs)), max_size=8)
+    )
+    starts = np.array(sorted({0, *cuts} - {len(xs)}), dtype=np.int64)
+    got = codec.encode_sorted_runs(v, starts)
+    bounds = np.concatenate([starts, [len(xs)]])
+    want = [codec.encode_sorted(v[a:b]) for a, b in zip(bounds[:-1], bounds[1:])]
+    assert got == want
+    counts = np.diff(bounds)
+    # each run is sorted within itself, so concat-decode must rebuild v
+    back = codec.decode_sorted_concat(got, counts)
+    assert (back == v).all()
+
+
+def test_runs_empty_and_single():
+    assert codec.encode_u64_runs(np.array([], dtype=np.uint64),
+                                 np.array([], dtype=np.int64)) == []
+    assert codec.encode_sorted_runs(
+        np.array([7], dtype=np.int64), np.array([0], dtype=np.int64)
+    ) == [codec.encode_sorted(np.array([7], dtype=np.int64))]
+    assert codec.decode_sorted_concat([], np.array([], dtype=np.int64)).size == 0

@@ -83,3 +83,91 @@ def encode_u32s(values: np.ndarray) -> bytes:
 
 def decode_u32s(buf: bytes) -> np.ndarray:
     return decode_u64(buf).astype(np.int64)
+
+
+# --- batch (run-sliced) variants -------------------------------------------
+#
+# The block writers encode hundreds of thousands of SHORT runs per task
+# (posting blocks average a handful of docs); per-call numpy overhead
+# (~15 array ops per encode) dominates at that granularity. These variants
+# run ONE vectorized encode over the whole column and slice the byte
+# stream at run boundaries — byte-identical to calling the per-run
+# functions on each slice (asserted in tests/test_codec.py).
+
+
+def _varint_bytes_and_offsets(v: np.ndarray,
+                              starts: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Varint-encode `v` in one pass; return (buffer, byte offset of each
+    run boundary in `starts`, plus the end offset)."""
+    n = v.size
+    if n == 0:
+        return b"", np.zeros(len(starts) + 1, dtype=np.int64)
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= t
+    byte_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_starts[1:])
+    out = np.zeros(int(byte_starts[-1]), dtype=np.uint8)
+    for j in range(int(nbytes.max())):
+        sel = nbytes > j
+        chunk = (v[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > j).astype(np.uint8) << 7
+        out[byte_starts[:-1][sel] + j] = chunk.astype(np.uint8) | cont
+    bounds = np.concatenate([byte_starts[starts], byte_starts[-1:]])
+    return out.tobytes(), bounds
+
+
+def encode_u64_runs(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Plain-varint encode each run ``values[starts[i]:starts[i+1]]``;
+    equivalent to ``[encode_u64(run) for run in runs]`` in one pass."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    buf, bounds = _varint_bytes_and_offsets(v, starts)
+    return [buf[a:b] for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist())]
+
+
+def encode_sorted_runs(values: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Delta-gap + varint per run, delta reset at each run start;
+    equivalent to ``[encode_sorted(run) for run in runs]`` in one pass."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if v.size == 0:
+        return [b""] * max(0, len(starts))
+    gaps = np.empty_like(v)
+    gaps[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=gaps[1:])
+    gaps[starts] = v[starts]  # reset delta at every run boundary
+    buf, bounds = _varint_bytes_and_offsets(gaps, starts)
+    return [buf[a:b] for a, b in zip(bounds[:-1].tolist(), bounds[1:].tolist())]
+
+
+def decode_u64_concat(bufs, counts: np.ndarray) -> np.ndarray:
+    """Decode a sequence of plain-varint buffers in ONE pass.
+
+    Varint streams are self-delimiting, so decoding the concatenation
+    equals concatenating the decodes; ``counts`` (values per buffer) is
+    accepted for interface symmetry and validated cheaply."""
+    buf = b"".join(bufs)
+    out = decode_u64(buf)
+    total = int(np.sum(counts)) if len(counts) else 0
+    if out.size != total:
+        raise ValueError(f"decoded {out.size} values, expected {total}")
+    return out
+
+
+def decode_sorted_concat(bufs, counts: np.ndarray) -> np.ndarray:
+    """Decode a sequence of ``encode_sorted`` buffers in ONE pass.
+
+    Each buffer's delta chain restarts at its own first value, so after a
+    global cumsum the bases of later buffers must be re-zeroed using the
+    known per-buffer counts (same trick as ``decode_positions``)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    gaps = decode_u64_concat(bufs, counts)
+    if gaps.size == 0:
+        return np.empty(0, dtype=np.int64)
+    nz = counts[counts > 0]
+    starts = np.concatenate(([0], np.cumsum(nz)[:-1]))
+    flat = np.cumsum(gaps, dtype=np.uint64)
+    base = flat[starts] - gaps[starts]
+    flat = flat - np.repeat(base, nz)
+    return flat.astype(np.int64)

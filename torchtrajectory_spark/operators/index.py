@@ -191,6 +191,10 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return flat, starts
 
 
+_BLOCK_COLS = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
+               "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
+
+
 def _build_blocks(pdf: pd.DataFrame, block_size: int,
                   with_positions: bool = False,
                   presorted: bool = False) -> pd.DataFrame:
@@ -198,51 +202,76 @@ def _build_blocks(pdf: pd.DataFrame, block_size: int,
     compressed <=block_size blocks.
 
     Sorts by (term, salt, doc_id) once (the frame may span many buckets /
-    salts — the SPIMI map path), then slices per (term, salt) run; all
-    codec work is vectorized numpy.
+    salts — the SPIMI map path), then cuts every (term, salt) run into
+    <=block_size blocks FULLY VECTORIZED: block boundaries via repeat/
+    cumsum, per-block metadata via ``ufunc.reduceat``, and all three
+    payload streams via the batch run-sliced codec (one varint pass over
+    the whole column, byte-identical to per-block encodes — the SPIMI map
+    emits hundreds of thousands of ~6-posting mini-blocks per task, where
+    per-block numpy-call overhead used to dominate the build: measured
+    ~4.6s of an ~8s segment at bench scale).
     """
-    keys = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
-            "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
-    if with_positions:
-        keys.append("poss")
-    out: dict[str, list] = {k: [] for k in keys}
+    keys = _BLOCK_COLS + (["poss"] if with_positions else [])
+    if len(pdf) == 0:
+        return pd.DataFrame({k: [] for k in keys})
     if not presorted:
         pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
+    n = len(pdf)
     terms = pdf["term"].to_numpy()
     salts = pdf["salt"].to_numpy(dtype=np.int64)
     buckets_arr = pdf["bucket"].to_numpy(dtype=np.int64)
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["dl"].to_numpy(dtype=np.int64)
-    poss = pdf["positions"].to_numpy() if with_positions else None
     # (term, salt) run boundaries
     change = np.flatnonzero(
         (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
     ) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(terms)]))
-    for s, e in zip(starts.tolist(), ends.tolist()):
-        term = terms[s]
-        bucket = int(buckets_arr[s])
-        salt = int(salts[s])
-        for bid, bs in enumerate(range(s, e, block_size)):
-            be = min(bs + block_size, e)
-            d, t, lv = docs[bs:be], tfs[bs:be], dls[bs:be]
-            out["bucket"].append(bucket)
-            out["term"].append(term)
-            out["salt"].append(salt)
-            out["block_id"].append(bid)
-            out["n_docs"].append(be - bs)
-            out["first_doc"].append(int(d[0]))
-            out["last_doc"].append(int(d[-1]))
-            out["max_tf"].append(int(t.max()))
-            out["min_dl"].append(int(lv.min()))
-            out["doc_gaps"].append(codec.encode_sorted(d))
-            out["tfs"].append(codec.encode_u32s(t))
-            out["dls"].append(codec.encode_u32s(lv))
-            if with_positions:
-                out["poss"].append(encode_positions(list(poss[bs:be])))
-    return pd.DataFrame(out)
+    run_starts = np.concatenate(([0], change))
+    run_ends = np.concatenate((change, [n]))
+    run_lens = run_ends - run_starts
+    nblk = -(-run_lens // block_size)  # ceil-div: blocks per run
+    cum = np.cumsum(nblk)
+    rep = np.repeat(np.arange(len(nblk)), nblk)
+    block_id = np.arange(int(cum[-1])) - np.repeat(cum - nblk, nblk)
+    bs = run_starts[rep] + block_id * block_size
+    be = np.minimum(bs + block_size, run_ends[rep])
+    out = pd.DataFrame({
+        "bucket": buckets_arr[bs],
+        "term": terms[bs],
+        "salt": salts[bs],
+        "block_id": block_id,
+        "n_docs": be - bs,
+        "first_doc": docs[bs],
+        "last_doc": docs[be - 1],
+        "max_tf": np.maximum.reduceat(tfs, bs),
+        "min_dl": np.minimum.reduceat(dls, bs),
+        "doc_gaps": codec.encode_sorted_runs(docs, bs),
+        "tfs": codec.encode_u64_runs(tfs, bs),
+        "dls": codec.encode_u64_runs(dls, bs),
+    })
+    if with_positions:
+        # One global pass over the flattened position stream: delta reset
+        # at every doc boundary (exactly what encode_positions does per
+        # block), sliced at block boundaries — which are doc boundaries.
+        poss = pdf["positions"].to_numpy()
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in poss]
+        ) if n else np.empty(0, dtype=np.int64)
+        pos_cum = np.concatenate(([0], np.cumsum(tfs)))
+        doc_starts = pos_cum[:-1]
+        g = np.empty_like(flat)
+        if flat.size:
+            g[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=g[1:])
+            g[doc_starts] = flat[doc_starts]
+        buf, bounds = codec._varint_bytes_and_offsets(
+            g.astype(np.uint64), pos_cum[bs]
+        )
+        out["poss"] = [buf[a:b]
+                       for a, b in zip(bounds[:-1].tolist(),
+                                       bounds[1:].tolist())]
+    return out
 
 
 def emit_postings(corpus: DataFrame, id_col: str, text_col: str,
@@ -336,13 +365,18 @@ def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
 def _merge_minis(pdf: pd.DataFrame, block_size: int,
                  with_positions: bool) -> pd.DataFrame:
     """Reduce task: one (bucket, salt) group of mini-blocks -> canonical
-    blocks. Per term: decode all minis, merge docID-sorted, re-encode.
+    blocks. Decode all minis, merge docID-sorted per term, re-encode.
     Deterministic for any shuffle arrival order (docIDs are unique per
-    term within a segment, so the sort is a total order)."""
-    keys = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
-            "last_doc", "max_tf", "min_dl", "doc_gaps", "tfs", "dls"]
-    if with_positions:
-        keys.append("poss")
+    term within a segment, so the sort is a total order).
+
+    Non-positions path is fully vectorized: every payload column is
+    decoded in ONE concat-varint pass (streams are self-delimiting;
+    per-mini delta bases re-zeroed from the n_docs counts), postings are
+    lexsorted by (term, doc) group-wide, and the canonical blocks are cut
+    by the same vectorized ``_build_blocks`` as the map phase."""
+    if not with_positions:
+        return _merge_minis_vec(pdf, block_size)
+    keys = _BLOCK_COLS + ["poss"]
     out: dict[str, list] = {k: [] for k in keys}
     bucket = int(pdf["bucket"].iloc[0])
     salt = int(pdf["salt"].iloc[0])
@@ -379,6 +413,32 @@ def _merge_minis(pdf: pd.DataFrame, block_size: int,
             if with_positions:
                 out["poss"].append(encode_positions(pos_lists[bs:be]))
     return pd.DataFrame(out)
+
+
+def _merge_minis_vec(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
+    """Vectorized reduce for the non-positions path (see _merge_minis)."""
+    if len(pdf) == 0:
+        return pd.DataFrame({k: [] for k in _BLOCK_COLS})
+    pdf = pdf.sort_values("term", kind="mergesort")
+    counts = pdf["n_docs"].to_numpy(dtype=np.int64)
+    docs = codec.decode_sorted_concat(pdf["doc_gaps"].tolist(), counts)
+    tfs = codec.decode_u64_concat(pdf["tfs"].tolist(), counts).astype(np.int64)
+    dls = codec.decode_u64_concat(pdf["dls"].tolist(), counts).astype(np.int64)
+    term_codes, uniq_terms = pd.factorize(pdf["term"], sort=False)
+    term_rep = np.repeat(term_codes, counts)
+    # terms already grouped ascending (sorted above, factorize preserves
+    # first-seen = sorted order); stable-sort docs within each term run
+    order = np.lexsort((docs, term_rep))
+    uniq_arr = np.asarray(uniq_terms, dtype=object)
+    flat = pd.DataFrame({
+        "term": uniq_arr[term_rep[order]],
+        "salt": np.int64(pdf["salt"].iloc[0]),
+        "bucket": np.int64(pdf["bucket"].iloc[0]),
+        "doc_id": docs[order],
+        "tf": tfs[order],
+        "dl": dls[order],
+    })
+    return _build_blocks(flat, block_size, presorted=True)
 
 
 def build_index(
