@@ -298,3 +298,27 @@ def test_write_debug_index_roundtrip(spark, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_parallel_segments_identical_to_serial(spark, corpus, tmp_path_factory):
+    """Overlapped segment commits produce the same postings + doc_stats as
+    the serial loop (segments are independent atomic commits; completion
+    order must not matter)."""
+    d_ser = str(tmp_path_factory.mktemp("idx_ser"))
+    d_par = str(tmp_path_factory.mktemp("idx_par"))
+    kw = dict(id_col="doc_id", text_col="content", analyzer="code",
+              n_segments=SEGS, buckets=BUCKETS)
+    build_index(spark, corpus, d_ser, parallel_segments=1, **kw)
+    build_index(spark, corpus, d_par, parallel_segments=SEGS, **kw)
+    cols = ["segment", "bucket", "term", "salt", "block_id", "n_docs",
+            "first_doc", "last_doc", "max_tf", "min_dl",
+            "doc_gaps", "tfs", "dls"]
+    a = read_postings(spark, d_ser).select(*cols)
+    b = read_postings(spark, d_par).select(*cols)
+    assert a.subtract(b).count() == 0
+    assert b.subtract(a).count() == 0
+    ma = read_manifest(spark, d_ser).toPandas().set_index("segment")
+    mb = read_manifest(spark, d_par).toPandas().set_index("segment")
+    for s in range(SEGS):
+        assert ma.loc[s, "input_fingerprint"] == mb.loc[s, "input_fingerprint"]
+        assert ma.loc[s, "row_count"] == mb.loc[s, "row_count"]

@@ -456,14 +456,23 @@ def build_index(
     fail_after_segments: int | None = None,
     with_positions: bool = False,
     table_format: str = "parquet",
+    parallel_segments: int = 4,
 ) -> None:
     """Full segmented, resumable index build.
 
     ``fail_after_segments`` injects a crash after that many segments have
-    committed — used by the resume test (FIXTURES.md §5).
+    committed — used by the resume test (FIXTURES.md §5); it forces
+    serial segment execution so the injection point is deterministic.
     ``table_format`` selects the registered commit writer (parquet
     default; ``register_table_writer`` adds e.g. an Iceberg snapshot
     writer — see the table-format seam notes above).
+    ``parallel_segments`` overlaps up to that many segment commits via
+    concurrent Spark job submission (each segment is an independent
+    atomic commit, so completion order is irrelevant — exactly the
+    property that makes the build resumable). Per-segment stages leave
+    scheduler/IO gaps that a serial loop pays 1x per segment; on a
+    multi-executor cluster this is the standard many-jobs-one-scheduler
+    pattern and the FIFO scheduler pipelines the waves.
     """
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifest, exist_ok=True)
@@ -492,21 +501,33 @@ def build_index(
     spark.conf.set(coalesce_key, "false")
     try:
         with use_table_format(table_format):
-            built = 0
-            for s in range(n_segments):
-                if s in done:
-                    continue
+            todo = [s for s in range(n_segments) if s not in done]
+
+            def one(s: int) -> None:
                 seg = (corpus.where(F.col("_seg") == s).drop("_seg")
                        if n_segments > 1 else corpus)
                 commit_segment(
                     spark, seg, s, paths, id_col, text_col, analyzer,
                     meta_cols, buckets, block_size, with_positions,
                 )
-                built += 1
-                if fail_after_segments is not None \
-                        and built >= fail_after_segments:
-                    raise RuntimeError(
-                        f"injected failure after {built} segments")
+
+            workers = 1 if fail_after_segments is not None \
+                else min(parallel_segments, max(1, len(todo)))
+            if workers <= 1:
+                built = 0
+                for s in todo:
+                    one(s)
+                    built += 1
+                    if fail_after_segments is not None \
+                            and built >= fail_after_segments:
+                        raise RuntimeError(
+                            f"injected failure after {built} segments")
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    for f in [pool.submit(one, s) for s in todo]:
+                        f.result()
     finally:
         spark.conf.set(coalesce_key, prev_coalesce)
 
@@ -897,7 +918,8 @@ def invalidate_index_cache(index_dir: str) -> None:
     prefix = root + os.sep
     for k in [k for k in _PLAN_CACHE
               if k[2] == root or k[2].startswith(prefix)]:
-        del _PLAN_CACHE[k]
+        # pop, not del: parallel segment commits may race the snapshot
+        _PLAN_CACHE.pop(k, None)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
