@@ -101,13 +101,23 @@ def _corpus_table(spark, n_rows: int, cores: int) -> str:
     run the Python row synthesizer (a benchmark-harness artifact that
     earlier rounds mistakenly timed inside the build's corpus scan).
     Reusing one materialization also guarantees the N- and 4N-core
-    scaling configs read byte-identical input."""
+    scaling configs read byte-identical input.
+
+    The table is ALWAYS written with a fixed, cores-independent file
+    count (32): a real lakehouse table has file count >> executor count,
+    and Spark's scan parallelism comes from file splits. Writing with
+    ``partitions=cores`` of whichever config materialized first (the
+    1-core config, in the scaling loop) produced ONE ~100 MB file under
+    the 128 MB ``maxPartitionBytes`` default — one input split — so the
+    4-core build's Python stages ran serially and the measured scaling
+    efficiency collapsed to ~0.26 (it measured the file layout, not the
+    engine)."""
     from torchtrajectory_spark.sources.corpus import synth_corpus
 
     path = _CORPUS_TABLES.get(n_rows)
     if path is None:
         path = tempfile.mkdtemp(prefix=f"tts_bench_corpus_{n_rows}_")
-        synth_corpus(spark, n_rows, partitions=cores).write.mode(
+        synth_corpus(spark, n_rows, partitions=32).write.mode(
             "overwrite").parquet(path)
         _CORPUS_TABLES[n_rows] = path
     return path
