@@ -322,3 +322,24 @@ def test_parallel_segments_identical_to_serial(spark, corpus, tmp_path_factory):
     for s in range(SEGS):
         assert ma.loc[s, "input_fingerprint"] == mb.loc[s, "input_fingerprint"]
         assert ma.loc[s, "row_count"] == mb.loc[s, "row_count"]
+
+
+def test_min_input_partitions_resplits_and_preserves_results(
+        spark, tmp_path):
+    """An under-split corpus (1 input partition) built with
+    ``min_input_partitions`` must produce the same query results as the
+    plain build — the guard only changes parallelism, never content."""
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = ["spark", "join", "window"]
+    results = []
+    for name, kw in (("plain", {}),
+                     ("guarded", {"min_input_partitions": 8})):
+        out = str(tmp_path / f"idx_{name}")
+        build_index(spark, docs.coalesce(1), out, id_col="doc_id",
+                    text_col="text", analyzer="ws", n_segments=1,
+                    buckets=8, resume=False, **kw)
+        rows = topk_bm25_index(spark, out, q, 10, buckets=8).collect()
+        results.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
+    assert results[0] == results[1]

@@ -450,6 +450,7 @@ def build_index(
     with_positions: bool = False,
     table_format: str = "parquet",
     parallel_segments: int = 4,
+    min_input_partitions: int | None = None,
 ) -> None:
     """Full segmented, resumable index build.
 
@@ -466,6 +467,19 @@ def build_index(
     scheduler/IO gaps that a serial loop pays 1x per segment; on a
     multi-executor cluster this is the standard many-jobs-one-scheduler
     pattern and the FIFO scheduler pipelines the waves.
+
+    ``min_input_partitions`` guards against an UNDER-SPLIT input table:
+    the emit stage's parallelism comes from the corpus scan's splits, so
+    a table written as (say) one ~100 MB file under the 128 MB
+    ``spark.sql.files.maxPartitionBytes`` default yields ONE task and the
+    whole tokenize pass serializes regardless of cluster size (this
+    exact failure collapsed a measured 4-core scaling run to 0.26
+    efficiency). When set and the scan plans fewer partitions, the
+    corpus is ``repartition``-ed up — one extra shuffle of the raw
+    content, only worth paying when the layout is genuinely degenerate.
+    For a big table with few LARGE files, prefer lowering
+    ``maxPartitionBytes`` instead: parquet scans re-split by byte range
+    without any shuffle.
     """
     paths = IndexPaths(index_dir)
     os.makedirs(paths.manifest, exist_ok=True)
@@ -477,6 +491,11 @@ def build_index(
         "format_version": INDEX_FORMAT_VERSION,
     })
     done = _done_segments(spark, paths) if resume else set()
+
+    if min_input_partitions is not None:
+        n_in = corpus.rdd.getNumPartitions()
+        if n_in < min_input_partitions:
+            corpus = corpus.repartition(min_input_partitions)
 
     # NOTE deliberately no .persist() of the per-segment corpus: Spark's
     # columnar cache build costs more than the 2 extra re-scans it saves
