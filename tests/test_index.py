@@ -343,3 +343,19 @@ def test_min_input_partitions_resplits_and_preserves_results(
         rows = topk_bm25_index(spark, out, q, 10, buckets=8).collect()
         results.append([(r["doc_id"], round(r["score"], 9)) for r in rows])
     assert results[0] == results[1]
+
+
+def test_bench_corpus_table_file_count_cores_independent(spark, tmp_path,
+                                                         monkeypatch):
+    """The bench's shared scaling corpus must be written with a fixed,
+    cores-independent file count — a single-file layout gives the wider
+    config one input split and the measured efficiency collapses to the
+    file layout, not the engine (BASELINE.md round-3 incident)."""
+    import glob
+
+    import bench
+
+    monkeypatch.setattr(bench, "_CORPUS_TABLES", {})
+    path = bench._corpus_table(spark, 300, cores=1)
+    files = glob.glob(path + "/part-*.parquet")
+    assert len(files) >= 16, f"under-split bench corpus: {len(files)} files"
