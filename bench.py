@@ -191,6 +191,20 @@ def main() -> None:
     )
     results["topk_qps"] = round(len(lats) / sum(lats), 2)
 
+    # --- batch: the SAME reference query set in ONE call (one postings
+    # scan + one Python stage for all queries; per-query rows are
+    # rank-identical to the loop above — tested). qps contrast with
+    # topk_qps shows the per-query fixed-cost amortization.
+    from torchtrajectory_spark.operators.wand import topk_bm25_index_many
+
+    qset = {f"q{i:02d}": q for i, q in enumerate(QUERY_SET)}
+    t0 = time.monotonic()
+    topk_bm25_index_many(spark, index_dir, qset, 10,
+                         buckets=buckets).collect()
+    batch_sec = time.monotonic() - t0
+    results["topk_batch_sec"] = round(batch_sec, 4)
+    results["topk_batch_qps"] = round(len(qset) / batch_sec, 2)
+
     # --- driver-table queries at SF_DIR ---
     # pre-build the test-table indexes, the compacted index (LSM
     # maintenance is not query latency) and the kernel sequence table so

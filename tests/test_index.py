@@ -359,3 +359,31 @@ def test_bench_corpus_table_file_count_cores_independent(spark, tmp_path,
     path = bench._corpus_table(spark, 300, cores=1)
     files = glob.glob(path + "/part-*.parquet")
     assert len(files) >= 16, f"under-split bench corpus: {len(files)} files"
+
+
+def test_batch_topk_rank_identical_to_single(spark, corpus, index_dir):
+    """topk_bm25_index_many must return, per query, exactly the rows the
+    single-query scorer returns — one shared postings decode, zero
+    semantic drift."""
+    import bench
+
+    from torchtrajectory_spark.operators.wand import (
+        open_index_meta,
+        topk_bm25_index_many,
+    )
+
+    queries = {f"q{i:02d}": q for i, q in enumerate(bench.QUERY_SET)}
+    queries["q_unknown"] = ["zzz_not_a_term_zzz"]
+    batch = topk_bm25_index_many(
+        spark, index_dir, queries, 10, buckets=BUCKETS
+    ).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    meta = open_index_meta(spark, index_dir)
+    for qid, q in queries.items():
+        exp = [(r["doc_id"], round(r["score"], 9))
+               for r in topk_bm25_index(spark, index_dir, q, 10, meta=meta,
+                                        buckets=BUCKETS).collect()]
+        assert by_q.get(qid, []) == exp, qid

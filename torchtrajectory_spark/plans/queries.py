@@ -31,7 +31,11 @@ from ..operators import (
 )
 from ..operators.index import build_index
 from ..operators.stats import term_freqs, tokenized
-from ..operators.wand import topk_bm25_index, topk_bm25_index_filtered
+from ..operators.wand import (
+    topk_bm25_index,
+    topk_bm25_index_filtered,
+    topk_bm25_index_many,
+)
 from ..sources.tables import load_table
 from . import oracles, oracles_ext, oracles_sim
 
@@ -138,6 +142,24 @@ def q_topk_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
     return _score_u6(
         topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
+    )
+
+
+Q_BATCH = {
+    "common": Q_TOPK,          # hot terms
+    "rare": Q_TOPK_RARE,       # cold terms
+    "mixed": ["spark", "dup"],  # shares one term with each of the above
+}
+
+
+def q_topk_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k: the whole query SET in one postings scan + one Python
+    stage, per-query rows rank-identical to the single-query scorer."""
+    idx = ensure_index(spark, sf_dir)
+    r = topk_bm25_index_many(spark, idx, Q_BATCH, K, buckets=_INDEX_BUCKETS)
+    return r.select(
+        "query_id", "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
     )
 
 
@@ -633,6 +655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_span_overlap": q_time_span_overlap,        # r01 only
     "dedup_jaccard_pairs_exact": q_dedup_jaccard_exact,  # new in r3
     "knn_points": q_knn_points,                          # new in r3
+    "topk_bm25_batch": q_topk_bm25_batch,                # new in r3
     # -- body --
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
@@ -702,6 +725,7 @@ ORACLES: dict[str, str] = {
     "topk_bm25": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_indexed": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_rare": oracles.bm25_topk_sql(Q_TOPK_RARE, K),
+    "topk_bm25_batch": oracles.bm25_topk_batch_sql(Q_BATCH, K),
     "topk_bm25_filtered": oracles.bm25_topk_filtered_sql(
         Q_TOPK, K, FILTER_PRED_SQL
     ),
