@@ -23,13 +23,35 @@ def main() -> None:
     p.add_argument("--query", action="append", required=True,
                    help="space-separated terms; repeatable")
     p.add_argument("-k", type=int, default=10)
+    p.add_argument("--batch", action="store_true",
+                   help="evaluate ALL queries in one batch call (one "
+                        "postings scan + one Python stage for the set)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from torchtrajectory_spark.operators.wand import topk_bm25_index
+    from torchtrajectory_spark.operators.wand import (
+        topk_bm25_index,
+        topk_bm25_index_many,
+    )
 
     spark = SparkSession.builder.appName("tts-topk").getOrCreate()
+    if args.batch:
+        qmap = {f"q{i:02d}": q.split() for i, q in enumerate(args.query)}
+        t0 = time.monotonic()
+        rows = topk_bm25_index_many(spark, args.index, qmap,
+                                    args.k).collect()
+        by_q: dict[str, list] = {qid: [] for qid in qmap}
+        for r in rows:
+            by_q[r["query_id"]].append([r["doc_id"], round(r["score"], 9)])
+        print(json.dumps({
+            "batch": True,
+            "queries": {qid: " ".join(q) for qid, q in qmap.items()},
+            "latency_sec": round(time.monotonic() - t0, 4),
+            "topk": by_q,
+        }))
+        spark.stop()
+        return
     # per-query term meta (bucket-pruned dictionary lookup) — never the
     # full dictionary (unbounded driver state at 10^12-file scale)
     for q in args.query:

@@ -1,0 +1,95 @@
+"""End-to-end `spark-submit --py-files` evidence (BASELINE.json north
+rule: "run via spark-submit --py-files on multi-executor clusters").
+
+Packages the engine zip, then runs the build job and the top-k job as
+REAL spark-submit child processes — the engine code reaches the workers
+only through --py-files (the subprocess cwd puts `scripts/` on sys.path,
+not the repo root)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    import pyspark
+
+    cand = os.path.join(list(pyspark.__path__)[0], "bin", "spark-submit")
+    if os.path.exists(cand):
+        return cand
+    pytest.skip("no spark-submit binary available")
+
+
+def _run(args: list[str], timeout: int = 300) -> str:
+    env = os.environ.copy()
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    r = subprocess.run(
+        args, capture_output=True, text=True, cwd=ROOT,
+        timeout=timeout, env=env,
+    )
+    assert r.returncode == 0, (
+        f"spark-submit failed ({r.returncode}):\n{r.stderr[-3000:]}"
+    )
+    return r.stdout
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    import package
+
+    zip_path = package.build(str(tmp_path / "tts.zip"))
+    submit = _spark_submit()
+    idx = str(tmp_path / "idx")
+
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "build_index_job.py"),
+        "--synth", "400", "--output", idx,
+        "--segments", "2", "--buckets", "8",
+    ])
+    stats = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert stats["indexed_rows"] == 400
+    assert stats["segments"] == 2
+    assert stats["files_per_sec"] > 0
+
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "def return",
+        "--query", "class import", "-k", "5",
+    ])
+    lines = [json.loads(ln) for ln in out.splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 2
+    for rec in lines:
+        scores = [s for _, s in rec["topk"]]
+        assert len(scores) == 5
+        assert scores == sorted(scores, reverse=True)
+
+    # batch mode: same queries in ONE call, identical per-query results
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "def return",
+        "--query", "class import", "-k", "5", "--batch",
+    ])
+    rec = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rec["batch"] is True
+    assert rec["topk"]["q00"] == lines[0]["topk"]
+    assert rec["topk"]["q01"] == lines[1]["topk"]
