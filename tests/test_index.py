@@ -387,3 +387,20 @@ def test_batch_topk_rank_identical_to_single(spark, corpus, index_dir):
                for r in topk_bm25_index(spark, index_dir, q, 10, meta=meta,
                                         buckets=BUCKETS).collect()]
         assert by_q.get(qid, []) == exp, qid
+
+
+def test_index_stats_consistent(spark, corpus, index_dir):
+    """index_stats derives from block metadata only and must agree with
+    the manifest and the decoded index."""
+    from torchtrajectory_spark.operators.index import index_stats
+
+    st = index_stats(spark, index_dir).toPandas().set_index("segment")
+    assert sorted(st.index) == list(range(SEGS))
+    assert st["row_count"].sum() == N_ROWS
+    # postings == decoded (term, doc) pairs per segment
+    flat_n = postings_flat(spark, index_dir).count()
+    assert st["postings"].sum() == flat_n
+    assert (st["payload_bytes"] > 0).all()
+    assert (st["compression_ratio"] > 1.0).all()
+    m = read_manifest(spark, index_dir).toPandas().set_index("segment")
+    assert (st["blocks"] == m["block_count"]).all()

@@ -962,6 +962,41 @@ def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     return _cached_read(spark, IndexPaths(index_dir).doc_stats, "doc_stats")
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Observability: per-segment index statistics from block METADATA
+    only — no payload decode, one JVM-side scan. The analog of the
+    reference's compression demo + memory probe
+    (``InvertedIndexTest.java:13-23``, ``base/helper/MemoryUsage.java``),
+    as a queryable DataFrame instead of stdout prints.
+
+    ``compression_ratio`` compares the delta+varint payload bytes against
+    plain fixed-width postings (int64 doc + int32 tf + int64 dl = 20
+    bytes/posting). Positional indexes include the ``poss`` payload in
+    ``payload_bytes`` (raw equivalent intentionally NOT inflated for
+    positions — the ratio stays conservative)."""
+    p = read_postings(spark, index_dir)
+    payload = (F.octet_length("doc_gaps") + F.octet_length("tfs")
+               + F.octet_length("dls"))
+    if "poss" in p.columns:
+        payload = payload + F.octet_length("poss")
+    per_seg = (
+        p.groupBy("segment")
+        .agg(
+            F.countDistinct("term").alias("terms"),
+            F.count(F.lit(1)).alias("blocks"),
+            F.sum("n_docs").alias("postings"),
+            F.sum(payload).alias("payload_bytes"),
+        )
+        .withColumn("raw_bytes",
+                    (F.col("postings") * F.lit(20)).cast("bigint"))
+        .withColumn("compression_ratio",
+                    F.round(F.col("raw_bytes") / F.col("payload_bytes"), 3))
+    )
+    m = read_manifest(spark, index_dir).select(
+        "segment", "row_count", "duration_ms")
+    return per_seg.join(m, "segment").orderBy("segment")
+
+
 def write_debug_index(spark: SparkSession, index_dir: str,
                       out_dir: str) -> None:
     """S8 — the uncompressed index writer (``InvertedIndex.java:49-87``'s
