@@ -107,7 +107,7 @@ def _fresh_spark(cores: int):
 _CORPUS_TABLES: dict[int, str] = {}
 
 
-def _corpus_table(spark, n_rows: int, cores: int) -> str:
+def _corpus_table(spark, n_rows: int) -> str:
     """Materialize the synthetic corpus ONCE per row count as a parquet
     table and reuse it across sessions/configs. The north-rule input is a
     TABLE of repositories (input_hint: Iceberg, cols repo/path/commit/
@@ -178,7 +178,7 @@ def build_throughput(cores: int, n_rows: int, n_segments: int, buckets: int):
     from torchtrajectory_spark.operators.index import build_index
 
     spark = _fresh_spark(cores)
-    tbl = _corpus_table(spark, n_rows, cores)
+    tbl = _corpus_table(spark, n_rows)  # layout is cores-independent
     # warmup: spin up the Python worker pool + codegen before the timed
     # region (throughput, not cold-start, is the metric)
     warm = tempfile.mkdtemp(prefix=f"tts_bench_warm_{cores}_")

@@ -42,7 +42,11 @@ def main() -> None:
         rows = topk_bm25_index_many(spark, args.index, qmap,
                                     args.k).collect()
         by_q: dict[str, list] = {qid: [] for qid in qmap}
-        for r in rows:
+        # explicit final ordering: collect() order within a query is not
+        # guaranteed (the window operator's intra-partition sort is
+        # incidental) — rank output client-side on the engine tie-break
+        for r in sorted(rows, key=lambda r: (r["query_id"], -r["score"],
+                                             r["doc_id"])):
             by_q[r["query_id"]].append([r["doc_id"], round(r["score"], 9)])
         print(json.dumps({
             "batch": True,

@@ -356,7 +356,7 @@ def test_bench_corpus_table_file_count_cores_independent(spark, tmp_path,
     import bench
 
     monkeypatch.setattr(bench, "_CORPUS_TABLES", {})
-    path = bench._corpus_table(spark, 300, cores=1)
+    path = bench._corpus_table(spark, 300)
     files = glob.glob(path + "/part-*.parquet")
     assert len(files) >= 16, f"under-split bench corpus: {len(files)} files"
 
@@ -404,3 +404,24 @@ def test_index_stats_consistent(spark, corpus, index_dir):
     assert (st["compression_ratio"] > 1.0).all()
     m = read_manifest(spark, index_dir).toPandas().set_index("segment")
     assert (st["blocks"] == m["block_count"]).all()
+
+
+def test_index_stats_reports_empty_segment(spark, tmp_path):
+    """A committed segment whose documents are all empty produces zero
+    postings blocks — index_stats must still report it (manifest-driven
+    join), with zeroed counters, so segment accounting always sums to the
+    manifest (ADVICE r3)."""
+    from torchtrajectory_spark.operators.index import index_stats
+
+    empty = spark.createDataFrame(
+        [(i, "") for i in range(20)], "doc_id long, content string"
+    )
+    d = str(tmp_path / "idx_empty")
+    build_index(spark, empty, d, id_col="doc_id", text_col="content",
+                analyzer="ws", n_segments=1, buckets=4, resume=False)
+    st = index_stats(spark, d).toPandas()
+    assert list(st["segment"]) == [0]
+    assert int(st["row_count"].iloc[0]) == 20
+    assert int(st["postings"].iloc[0]) == 0
+    assert int(st["blocks"].iloc[0]) == 0
+    assert st["compression_ratio"].isna().all()

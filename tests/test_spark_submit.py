@@ -45,9 +45,22 @@ def _run(args: list[str], timeout: int = 300) -> str:
     return r.stdout
 
 
+def _load_package_module():
+    """Load scripts/package.py without mutating sys.path/sys.modules —
+    the generic module name 'package' must not leak into the pytest
+    session (it could shadow later imports)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_tts_package_script", os.path.join(ROOT, "scripts", "package.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def test_spark_submit_py_files_end_to_end(tmp_path):
-    sys.path.insert(0, os.path.join(ROOT, "scripts"))
-    import package
+    package = _load_package_module()
 
     zip_path = package.build(str(tmp_path / "tts.zip"))
     submit = _spark_submit()

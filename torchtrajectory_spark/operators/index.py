@@ -979,22 +979,28 @@ def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
                + F.octet_length("dls"))
     if "poss" in p.columns:
         payload = payload + F.octet_length("poss")
-    per_seg = (
-        p.groupBy("segment")
-        .agg(
-            F.countDistinct("term").alias("terms"),
-            F.count(F.lit(1)).alias("blocks"),
-            F.sum("n_docs").alias("postings"),
-            F.sum(payload).alias("payload_bytes"),
-        )
-        .withColumn("raw_bytes",
-                    (F.col("postings") * F.lit(20)).cast("bigint"))
-        .withColumn("compression_ratio",
-                    F.round(F.col("raw_bytes") / F.col("payload_bytes"), 3))
+    per_seg = p.groupBy("segment").agg(
+        F.countDistinct("term").alias("terms"),
+        F.count(F.lit(1)).alias("blocks"),
+        F.sum("n_docs").alias("postings"),
+        F.sum(payload).alias("payload_bytes"),
     )
     m = read_manifest(spark, index_dir).select(
         "segment", "row_count", "duration_ms")
-    return per_seg.join(m, "segment").orderBy("segment")
+    # manifest drives the join: a committed segment with zero postings
+    # blocks (all-empty documents) must still be reported, with zeros
+    return (
+        m.join(per_seg, "segment", "left")
+        .fillna(0, subset=["terms", "blocks", "postings", "payload_bytes"])
+        .withColumn("raw_bytes",
+                    (F.col("postings") * F.lit(20)).cast("bigint"))
+        .withColumn(
+            "compression_ratio",
+            F.when(F.col("payload_bytes") > 0,
+                   F.round(F.col("raw_bytes") / F.col("payload_bytes"), 3)),
+        )
+        .orderBy("segment")
+    )
 
 
 def write_debug_index(spark: SparkSession, index_dir: str,
