@@ -355,6 +355,7 @@ def topk_bm25_index_many(
     k1: float = BM25_K1,
     b: float = BM25_B,
     scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
 ) -> DataFrame:
     """Batch top-k BM25: score a whole query SET in one pass.
 
@@ -381,7 +382,8 @@ def topk_bm25_index_many(
     qmap = [(str(qid), sorted(set(str(t) for t in terms)))
             for qid, terms in sorted(queries.items())]
     all_terms = sorted({t for _, q in qmap for t in q})
-    meta = query_term_meta(spark, index_dir, all_terms, buckets, scalars)
+    if meta is None:
+        meta = query_term_meta(spark, index_dir, all_terms, buckets, scalars)
     blocks = _q_blocks(spark, index_dir, all_terms, buckets).select(
         "segment", "term", "n_docs", "max_tf", "min_dl",
         "doc_gaps", "tfs", "dls",
