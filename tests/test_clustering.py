@@ -100,6 +100,28 @@ def test_yinyang_matches_brute_grouped(spark, emb_np):
     assert sum(stats["pruned_per_iter"][1:]) > 0
 
 
+def test_yinyang_second_filter_prunes_at_k64(spark):
+    """At k >> 8 the tighten-ub second filter is what makes pruning bite
+    (VERDICT r3 task #6): on a clustered corpus the pruned fraction must
+    reach >= 30% by iteration 3 at k=64, with centroids still
+    bit-identical to the brute trainer."""
+    import pandas as pd
+
+    n, d, k, iters = 12000, 16, 64, 4
+    rng = np.random.RandomState(7)
+    centers = rng.uniform(-1, 1, size=(k, d))
+    x = centers[np.arange(n) % k] + rng.normal(0, 0.02, size=(n, d))
+    pdf = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(x.astype(np.float64))})
+    emb = spark.createDataFrame(pdf)
+    brute = clustering.train_kmeans(emb, k, iters)
+    fast, stats = clustering.train_kmeans_yinyang(emb, k, iters)
+    assert (fast == brute).all()
+    frac = [p / n for p in stats["pruned_per_iter"]]
+    assert frac[2] >= 0.3, frac
+    assert frac[3] >= 0.3, frac
+
+
 def test_assign_fixed_matches_kmeans_round0(spark, emb_np):
     """Catalyst fixed-centroid assignment == Arrow-UDF assignment."""
     emb, ids, x = emb_np

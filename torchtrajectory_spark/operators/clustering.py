@@ -268,11 +268,21 @@ def train_kmeans(emb: DataFrame, k: int = 8, n_iter: int = 5,
 #   work per iteration. The only shuffle is still the k x (d+2) partial
 #   sums; everything else is map-side.
 #
-# Simplification vs the reference: failing points go straight to the
-# exact all-centroid argmin (no per-point tighten-ub retest, no per-group
-# third filter) — at the reference's k-paths scale the group filter
-# matters, and the group lbs maintained here are exactly what it needs;
-# the exact pass is vectorized numpy either way.
+# Filter cascade per iteration (the reference's local filter,
+# ``Yinyang.java:302-438``):
+#   1. GLOBAL: drifted ub < min over group lbs  -> keep assignment, no
+#      distance computed at all;
+#   2. TIGHTEN-UB RETEST: recompute ub EXACTLY (one distance, to the
+#      assigned center only) and retest against the drifted group lbs —
+#      the drifted ub accumulates per-centroid movement every iteration
+#      while the true distance usually moves far less, so at larger k
+#      most global-filter failures pass here at the cost of ONE distance
+#      instead of k (this is what makes pruning bite at k >> 8; measured
+#      at k=64 in tests/test_clustering.py);
+#   3. failures of both filters take the exact all-centroid argmin
+#      (vectorized numpy; no per-group third filter — the group lbs
+#      maintained here are exactly what it would need).
+# "pruned" counts points that skipped the all-centroid pass (filters 1+2).
 
 def _group_centroids(cents_q: np.ndarray, n_groups: int) -> np.ndarray:
     """Deterministic centroid grouping (the reference groups centers by
@@ -409,19 +419,37 @@ def train_kmeans_yinyang(
                 # possibly tie — ties fall through to the exact argmin
                 eps = 1e-9 * (np.abs(ub) + np.abs(lbmin)) + 1e-12
                 ok = ub + eps < lbmin
-                fail = ~ok
-                if fail.any():
-                    af, ubf, lbsf = _exact_bounds(xq[fail], C, gof, ng)
-                    a[fail] = af
-                    ub[fail] = ubf
-                    lbs[fail] = lbsf
+                pruned = ok.copy()
+                fail_idx = np.flatnonzero(~ok)
+                if fail_idx.size:
+                    # second filter: tighten ub to the EXACT distance to
+                    # the assigned center (one distance per point) and
+                    # retest; lbs bound every OTHER center from below, so
+                    # a strict pass proves the argmin is unchanged
+                    xf = xq[fail_idx]
+                    af0 = a[fail_idx]
+                    ub_t = np.sqrt(
+                        ((xf - C[af0]) ** 2).sum(axis=1).astype(np.float64)
+                    )
+                    lbm_f = lbmin[fail_idx]
+                    eps2 = 1e-9 * (np.abs(ub_t) + np.abs(lbm_f)) + 1e-12
+                    keep = ub_t + eps2 < lbm_f
+                    kept_idx = fail_idx[keep]
+                    ub[kept_idx] = ub_t[keep]
+                    pruned[kept_idx] = True
+                    hard = fail_idx[~keep]
+                    if hard.size:
+                        af, ubf, lbsf = _exact_bounds(xq[hard], C, gof, ng)
+                        a[hard] = af
+                        ub[hard] = ubf
+                        lbs[hard] = lbsf
                 yield pd.DataFrame({
                     "vec_id": pdf["vec_id"].to_numpy(),
                     "q": list(xq),
                     "cluster": a.astype(np.int32),
                     "ub": ub,
                     "lbs": list(lbs),
-                    "pruned": ok,
+                    "pruned": pruned,
                 })
 
         state = state.mapInPandas(
