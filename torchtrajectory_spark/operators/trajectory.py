@@ -193,16 +193,26 @@ def knn_points(points: DataFrame, lat_c: float, lng_c: float,
     cells (cell predicate pushed into the scan) and TakeOrderedAndProject
     merges per-partition top-k heaps. No shuffle except the final k-row
     merge.
+
+    At scale, store the points table PARTITIONED by ``cell`` (the grid
+    index the reference prebuilds, ``VertexGridIndex.build:64-112``,
+    re-expressed as a partition spec): an input that already carries a
+    ``cell`` column is used as-is, so the final-cells ``isin`` predicate
+    becomes a PartitionFilter and job 2 reads only the selected cells'
+    files (demonstrated in tests/test_geo_traj.py + EXPLAIN.md).
     """
     import math
 
     from ..functions.geo import tile_id
 
-    pts = points.withColumn(
-        "cell",
-        tile_id(F.col("lat"), F.col("lng"), GRID_LAT0, GRID_LNG0,
-                GRID_CELL_DEG, GRID_COLS),
-    )
+    if "cell" in points.columns:
+        pts = points  # pre-gridded (e.g. cell-partitioned table) layout
+    else:
+        pts = points.withColumn(
+            "cell",
+            tile_id(F.col("lat"), F.col("lng"), GRID_LAT0, GRID_LNG0,
+                    GRID_CELL_DEG, GRID_COLS),
+        )
     hist = {
         int(r["cell"]): int(r["n"])
         for r in pts.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
