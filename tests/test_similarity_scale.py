@@ -74,6 +74,26 @@ def test_near_dup_scale_config_recall(spark, planted):
     assert planted_pairs <= got_mp  # multi-probe: full planted recall
 
 
+def test_near_dup_scale_config_recall_number(spark, planted):
+    """Quantified recall vs the EXACT pair set (not just planted pairs):
+    multi-probe n_probe=2 at C = cells_for(n) must recover >= 0.95 of all
+    true pairs at the near-dup threshold (VERDICT r3 task #7). The number
+    is recorded in BASELINE.md."""
+    emb, truth, _ = planted
+    C = similarity.cells_for(emb.count())
+    got_mp = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_multiprobe(
+            emb, THRESH, n_centroids=C, n_probe=2
+        ).collect()
+    }
+    assert got_mp <= truth  # exact verification: precision is 1.0
+    recall = len(got_mp & truth) / len(truth)
+    print(f"\nscale-config near-dup recall @C={C}, probe=2: "
+          f"{recall:.4f} ({len(got_mp)}/{len(truth)} pairs)")
+    assert recall >= 0.95, recall
+
+
 def test_near_dup_scale_config_multiprobe_superset(spark, planted):
     """Multi-probe may only ADD true pairs relative to single-probe."""
     emb, truth, _ = planted
