@@ -93,6 +93,7 @@ class Engine:
             return topk_bm25_index_filtered(
                 self.spark, self.index_dir, terms, k, where,
                 buckets=self._buckets, k1=self.k1, b=self.b,
+                meta=self._term_meta(terms),
             )
         return topk_bm25_index(
             self.spark, self.index_dir, terms, k,

@@ -421,6 +421,7 @@ def topk_bm25_index_filtered(
     buckets: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    meta: IndexMeta | None = None,
 ) -> DataFrame:
     """Index-backed top-k with a metadata predicate on the candidates.
 
@@ -437,7 +438,8 @@ def topk_bm25_index_filtered(
     from .index import read_doc_stats
 
     q = sorted(set(str(t) for t in query_terms))
-    meta = query_term_meta(spark, index_dir, q, buckets)
+    if meta is None:
+        meta = query_term_meta(spark, index_dir, q, buckets)
 
     allowed = (
         read_doc_stats(spark, index_dir)

@@ -31,11 +31,6 @@ from ..operators import (
 )
 from ..operators.index import build_index
 from ..operators.stats import term_freqs, tokenized
-from ..operators.wand import (
-    topk_bm25_index,
-    topk_bm25_index_filtered,
-    topk_bm25_index_many,
-)
 from ..sources.tables import load_table
 from . import oracles, oracles_ext, oracles_sim
 
@@ -121,9 +116,27 @@ def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
 
 def q_topk_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_compacted_index(spark, sf_dir)
-    return _score_u6(
-        topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
-    )
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
+
+
+# One opened Engine per (session, index): the registry's indexed queries
+# ride the same serving facade a user would, so per-(index, term-set)
+# statistics are memoized across queries (e.g. Q_TOPK is shared by
+# topk_bm25_indexed / resolve_topk / resolve_topk_json) — warm repeats
+# run exactly one Spark job. Keyed by applicationId so a fresh session
+# (new process, restarted JVM) never sees stale state.
+_ENGINES: dict[tuple, object] = {}
+
+
+def _engine(spark: SparkSession, index_dir: str):
+    from ..engine import Engine
+
+    key = (spark.sparkContext.applicationId, index_dir)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        eng = Engine.from_index(spark, index_dir)
+        _ENGINES[key] = eng
+    return eng
 
 
 def _score_u6(df: DataFrame) -> DataFrame:
@@ -140,9 +153,7 @@ def q_topk_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
-    return _score_u6(
-        topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
-    )
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
 
 
 Q_BATCH = {
@@ -156,7 +167,7 @@ def q_topk_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch top-k: the whole query SET in one postings scan + one Python
     stage, per-query rows rank-identical to the single-query scorer."""
     idx = ensure_index(spark, sf_dir)
-    r = topk_bm25_index_many(spark, idx, Q_BATCH, K, buckets=_INDEX_BUCKETS)
+    r = _engine(spark, idx).find_topk_many(Q_BATCH, K)
     return r.select(
         "query_id", "doc_id",
         F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
@@ -165,9 +176,7 @@ def q_topk_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_bm25_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
-    return _score_u6(
-        topk_bm25_index(spark, idx, Q_TOPK_RARE, K, buckets=_INDEX_BUCKETS)
-    )
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK_RARE, K))
 
 
 def q_bool_or(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,9 +272,7 @@ def q_resolve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, so resolution adds zero shuffle."""
     d = _docs(spark, sf_dir)
     idx = ensure_index(spark, sf_dir)
-    tk = _score_u6(
-        topk_bm25_index(spark, idx, Q_TOPK, K, buckets=_INDEX_BUCKETS)
-    )
+    tk = _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
     return d.join(F.broadcast(tk), "doc_id").select(
         "doc_id", "score_u6", "lang", "n_chars"
     )
@@ -324,12 +331,9 @@ def q_topk_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_topk_bm25_filtered_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
-    return _score_u6(
-        topk_bm25_index_filtered(
-            spark, idx, Q_TOPK, K, F.col("lang").isin(FILTER_LANGS),
-            buckets=_INDEX_BUCKETS,
-        )
-    )
+    return _score_u6(_engine(spark, idx).find_topk(
+        Q_TOPK, K, where=F.col("lang").isin(FILTER_LANGS)
+    ))
 
 
 def ensure_seq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
