@@ -135,3 +135,73 @@ def test_assign_fixed_matches_kmeans_round0(spark, emb_np):
         for r in clustering._assign_np(emb, cents, "vec_id", "embedding").collect()
     }
     assert catalyst == arrow
+
+
+def test_seed_high_frequency_deterministic_and_disjoint(spark):
+    """T8 — frequency-seeded selection on a corpus with 20 disjoint
+    vocabulary groups: seeds come from the top-range by frequency, chosen
+    seeds' term sets are pairwise disjoint (the reference's rejection
+    rule), and the draw is deterministic across runs AND partitionings."""
+    # doc i uses vocabulary group (i % 20); token count grows with i so
+    # frequency ordering is deterministic and known
+    rows = [
+        (i, " ".join(f"g{i % 20}_t{j}" for j in range(3 + i % 11)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    k, range_n = 5, 50
+    s1 = clustering.seed_high_frequency(docs, k, range_n=range_n, seed=7)
+    s2 = clustering.seed_high_frequency(docs.repartition(13), k,
+                                        range_n=range_n, seed=7)
+    assert s1 == s2 and len(s1) == k
+
+    # seeds are drawn from the top-range_n docs by token count
+    from pyspark.sql import functions as F
+
+    from torchtrajectory_spark.operators.stats import tokenized
+
+    tok = tokenized(docs, "doc_id", "text", "ws")
+    top = {
+        r["doc_id"]
+        for r in tok.select("doc_id", F.size("tokens").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("doc_id").asc())
+        .limit(range_n).collect()
+    }
+    assert set(s1) <= top
+
+    # pairwise-disjoint term sets (the non-intersecting rule): seeds must
+    # come from 5 DIFFERENT vocabulary groups
+    assert len({s % 20 for s in s1}) == k
+
+    # a different seed draws a different (still valid) set
+    s3 = clustering.seed_high_frequency(docs, k, range_n=range_n, seed=99)
+    assert s3 != s1 and set(s3) <= top
+
+    # and the seeds drive the index-assisted first assignment: clusters
+    # are the seed doc_ids, every seed assigns to itself, and every doc
+    # in a seed's vocabulary group joins that seed's cluster
+    fa = clustering.first_assign_index(docs, k, seeds=s1)
+    by_doc = {r["doc_id"]: r["cluster"] for r in fa.collect()}
+    for s in s1:
+        assert by_doc[s] == s
+    seed_group = {s % 20: s for s in s1}
+    for d, cl in by_doc.items():
+        if d % 20 in seed_group:
+            assert cl == seed_group[d % 20], (d, cl)
+        else:
+            assert cl == -1, (d, cl)
+
+
+def test_seed_high_frequency_overlapping_corpus_falls_back(spark):
+    """On a corpus whose top-range docs all share vocabulary (the real
+    documents table), disjoint seeds do not exist; the selector must
+    still return k deterministic seeds from the top-range instead of
+    looping forever like the reference would."""
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    k, range_n = 5, 50
+    s1 = clustering.seed_high_frequency(docs, k, range_n=range_n, seed=7)
+    s2 = clustering.seed_high_frequency(docs.repartition(9), k,
+                                        range_n=range_n, seed=7)
+    assert s1 == s2 and len(s1) == len(set(s1)) == k

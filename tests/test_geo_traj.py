@@ -196,3 +196,43 @@ def test_engine_find_knn_facade(spark):
     rows = Engine.find_knn(pts, -10.0, -30.0, k=5).collect()
     assert len(rows) == 5
     assert [r["dist_m"] for r in rows] == sorted(r["dist_m"] for r in rows)
+
+
+def test_points_near_track_equals_plain_predicate(spark):
+    """J6 candidate generation must be invisible: the ε-ball union +
+    refine equals the plain min-haversine predicate, including a track
+    whose ε-boxes span multiple and shared grid cells."""
+    from pyspark.sql import functions as F
+
+    from torchtrajectory_spark.functions.geo import haversine_m
+    from torchtrajectory_spark.operators.trajectory import (
+        points_near_track, synth_points,
+    )
+    from torchtrajectory_spark.sources.tables import load_table
+
+    pts = synth_points(load_table(spark, "/root/testdata/sf0.001", "events"))
+    track = [(-10.0, -30.0), (-14.0, -24.0), (55.0, 170.0)]
+    eps = 1_200_000.0
+    dists = [haversine_m(F.col("lat"), F.col("lng"),
+                         F.lit(la), F.lit(ln)) for la, ln in track]
+    mind = F.least(*dists)
+    exp = {
+        (r["event_id"], r["dist_m"])
+        for r in pts.select(
+            "event_id", F.round(mind).cast("bigint").alias("dist_m"),
+        ).where(mind <= eps).collect()
+    }
+    got = {
+        (r["event_id"], r["dist_m"])
+        for r in points_near_track(pts, track, eps).collect()
+    }
+    assert got == exp and len(got) > 0
+
+    # single-point track degenerates to points_in_radius's result set
+    from torchtrajectory_spark.operators.trajectory import points_in_radius
+
+    one = {(r["event_id"], r["dist_m"])
+           for r in points_near_track(pts, [(-10.0, -30.0)], eps).collect()}
+    rad = {(r["event_id"], r["dist_m"])
+           for r in points_in_radius(pts, -10.0, -30.0, eps).collect()}
+    assert one == rad

@@ -503,20 +503,103 @@ def cluster_metrics(emb: DataFrame, assigned: DataFrame,
     )
 
 
+def seed_high_frequency(docs: DataFrame, k: int, range_n: int = 1000,
+                        seed: int = 7, doc_id_col: str = "doc_id",
+                        text_col: str = "text", analyzer: str = "ws",
+                        freq_col: str | None = None) -> list[int]:
+    """T8 — frequency-seeded centroid selection, the full re-expression
+    of ``Process.initializeClustersHighFrequency:326-352``: sort the
+    candidate histogram by frequency DESCENDING, then sample k seeds from
+    the top ``range_n``, REJECTING any candidate whose term set overlaps
+    an already-chosen seed (the reference's non-intersecting rule).
+
+    Differences from the reference, both deliberate:
+    * frequency = token count (``dl``) by default, or any ``freq_col`` —
+      the reference's ``trajectoryHistogram`` counts stream occurrences,
+      a column the caller supplies when it exists;
+    * the sample is DETERMINISTIC (a fixed LCG over the top-range
+      indices, seeded by ``seed``) instead of ``java.util.Random`` —
+      same draw distribution shape, reproducible across runs and
+      partitionings (everything rank-critical in this engine is).
+
+    Scale shape: one aggregate + one top-``range_n`` TakeOrdered collect
+    (bounded driver state: range_n rows with distinct-term sets); the
+    rejection loop runs driver-side over that bounded block, like the
+    reference's in-memory loop. Returns the k chosen seed doc_ids,
+    usable as ``first_assign_index(..., seeds=...)``.
+    """
+    from .stats import tokenized
+
+    tok = tokenized(docs, doc_id_col, text_col, analyzer)
+    freq = (F.col(freq_col) if freq_col is not None
+            else F.size("tokens"))
+    top = (
+        tok.select(
+            F.col("doc_id"),
+            freq.alias("freq"),
+            F.array_distinct("tokens").alias("terms"),
+        )
+        .orderBy(F.col("freq").desc(), F.col("doc_id").asc())
+        .limit(range_n)
+        .collect()
+    )
+    if len(top) < k:
+        raise ValueError(f"only {len(top)} candidates for k={k} seeds")
+    # deterministic LCG (numerical-recipes constants) over 0..len(top)-1
+    state = seed & 0x7FFFFFFF
+    chosen: list[int] = []
+    chosen_terms: set = set()
+    attempts = 0
+    while len(chosen) < k and attempts < range_n * 64:
+        attempts += 1
+        state = (1664525 * state + 1013904223) % (2 ** 31)
+        cand = top[state % len(top)]
+        terms = set(cand["terms"])
+        if cand["doc_id"] in chosen or (terms & chosen_terms):
+            continue  # the reference decrements t and redraws (":344-347")
+        chosen.append(int(cand["doc_id"]))
+        chosen_terms |= terms
+    if len(chosen) < k:
+        # top-range is too overlapping to give k disjoint seeds — fall
+        # back to frequency order, still skipping overlaps, then relax
+        # the disjointness (the reference would loop forever here)
+        for cand in top:
+            if len(chosen) >= k:
+                break
+            if cand["doc_id"] in chosen:
+                continue
+            terms = set(cand["terms"])
+            if terms & chosen_terms:
+                continue
+            chosen.append(int(cand["doc_id"]))
+            chosen_terms |= terms
+        for cand in top:
+            if len(chosen) >= k:
+                break
+            if cand["doc_id"] not in chosen:
+                chosen.append(int(cand["doc_id"]))
+    return chosen
+
+
 def first_assign_index(docs: DataFrame, k: int,
                        doc_id_col: str = "doc_id", text_col: str = "text",
-                       analyzer: str = "ws") -> DataFrame:
+                       analyzer: str = "ws",
+                       seeds: list[int] | None = None) -> DataFrame:
     """X2 — index-assisted first assignment
     (``Yinyang.firstAssignmentWithInvertedIndex:439-483``): instead of
     scoring every doc against every centroid, the posting lists of the
     seed docs' terms generate (doc, seed) candidates, and each doc takes
     the seed it shares the most distinct terms with.
 
-    Seeds = the k lowest doc_ids. Assignment = argmax shared-term count,
-    ties to the lowest seed id; docs sharing no term with any seed get
-    cluster -1 (the refine iteration picks them up — the reference
-    falls back to its exact pass the same way). Returns
-    (doc_id, cluster, shared).
+    Seeds = the k lowest doc_ids by default (deterministic, oracle-
+    matched), or an explicit ``seeds`` id list — e.g. from
+    ``seed_high_frequency`` (T8), the reference's own pairing of
+    frequency seeding with the index-assisted first assignment.
+    Assignment = argmax shared-term count, ties to the lowest seed id;
+    docs sharing no term with any seed get cluster -1 (the refine
+    iteration picks them up — the reference falls back to its exact pass
+    the same way). Returns (doc_id, cluster, shared); with explicit
+    seeds, cluster is the SEED doc_id.
 
     Scale shape: one distinct-term explode, one (small-side broadcast)
     join against the seeds' term sets, one count aggregation — the
@@ -527,11 +610,13 @@ def first_assign_index(docs: DataFrame, k: int,
     tok = tokenized(docs, doc_id_col, text_col, analyzer).select(
         "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
     )
-    seeds = tok.where(F.col("doc_id") < k).select(
+    seed_pred = (F.col("doc_id") < k if seeds is None
+                 else F.col("doc_id").isin([int(s) for s in seeds]))
+    seeds_df = tok.where(seed_pred).select(
         F.col("doc_id").alias("cid"), "term"
     )
     shared = (
-        tok.join(F.broadcast(seeds), "term")
+        tok.join(F.broadcast(seeds_df), "term")
         .groupBy("doc_id", "cid")
         .agg(F.count(F.lit(1)).alias("shared"))
     )

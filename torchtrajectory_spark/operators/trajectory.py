@@ -76,27 +76,18 @@ def points_in_window(points: DataFrame, lat_lo: float, lat_hi: float,
     ).select("event_id", "user_id")
 
 
-def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
-                     radius_m: float) -> DataFrame:
-    """Radius query (F4 + J5's ring bound): coarse tile candidates from
-    the circle's bounding box, then the exact haversine refine.
-
-    Returns (event_id, user_id, dist_m) for points within ``radius_m``
-    meters of the center — the ``VertexGridIndex.java:288-299`` circle
-    search. The tile filter only generates candidates (pushdown-friendly
-    at scale); exactness comes from the refine, so the result equals the
-    plain haversine predicate.
-    """
+def _cap_cells(lat_c: float, lng_c: float, radius_m: float) -> list[int]:
+    """Grid cells covering the bounding box of a spherical cap
+    (driver-side, C2 analog). The longitude half-extent of a cap at
+    lat_c with angular radius c is asin(sin(c) / cos(lat)) evaluated at
+    the WIDEST latitude the cap reaches (not lat_c: the equirectangular
+    r/(R cos lat_c) is slightly too narrow and could drop a whole
+    candidate cell on a fine grid). If the cap reaches a pole, or the
+    extent formula leaves its domain, or the box would cross the
+    antimeridian, degrade to the full longitude range — candidates only,
+    exactness comes from the caller's refine."""
     import math
 
-    # bounding box of the spherical cap (driver-side, C2 analog). The
-    # longitude half-extent of a cap at lat_c with angular radius c is
-    # asin(sin(c) / cos(lat)) evaluated at the WIDEST latitude the cap
-    # reaches (not lat_c: the equirectangular r/(R cos lat_c) is slightly
-    # too narrow and could drop a whole candidate cell on a fine grid).
-    # If the cap reaches a pole, or the extent formula leaves its domain,
-    # or the box would cross the antimeridian, degrade to the full
-    # longitude range — candidates only, exactness comes from the refine.
     c_ang = radius_m / 6371000.0
     dlat = math.degrees(c_ang)
     lat_lo, lat_hi = lat_c - dlat, lat_c + dlat
@@ -114,8 +105,22 @@ def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
         lng_lo, lng_hi = -180.0, 180.0
     else:
         lng_lo, lng_hi = lng_c - dlng, lng_c + dlng
-    cells = window_cells(max(lat_lo, -90.0), min(lat_hi, 90.0),
-                         lng_lo, lng_hi)
+    return window_cells(max(lat_lo, -90.0), min(lat_hi, 90.0),
+                        lng_lo, lng_hi)
+
+
+def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
+                     radius_m: float) -> DataFrame:
+    """Radius query (F4 + J5's ring bound): coarse tile candidates from
+    the circle's bounding box, then the exact haversine refine.
+
+    Returns (event_id, user_id, dist_m) for points within ``radius_m``
+    meters of the center — the ``VertexGridIndex.java:288-299`` circle
+    search. The tile filter only generates candidates (pushdown-friendly
+    at scale); exactness comes from the refine, so the result equals the
+    plain haversine predicate.
+    """
+    cells = _cap_cells(lat_c, lng_c, radius_m)
     from ..functions.geo import tile_id
 
     cand = points.withColumn(
@@ -129,6 +134,47 @@ def points_in_radius(points: DataFrame, lat_c: float, lng_c: float,
         cand.where(dist <= F.lit(float(radius_m)))
         .select("event_id", "user_id",
                 F.round(dist).cast("bigint").alias("dist_m"))
+    )
+
+
+def points_near_track(points: DataFrame,
+                      track: list[tuple[float, float]],
+                      eps_m: float) -> DataFrame:
+    """J6 — the ε-ball candidate join (``LEVI.java:120-131,190-199``):
+    the reference generates, for EACH query-trajectory point, the
+    vertices within ``epsilon`` (50 m default, ``LEVI.java:30``) and
+    unions their posting lists as the LCSS/EDR candidate set. Here the
+    same shape over a points table: the union of per-track-point grid
+    candidates (one isin filter over the union of ε-box cells — a single
+    scan, not one scan per query point), then the exact refine
+    ``min_p haversine(x, p) <= eps``.
+
+    Returns (event_id, user_id, dist_m) with dist_m = the rounded
+    distance to the NEAREST track point. The track is query-sized
+    (bounded), so the min is a ``least()`` over |track| codegen'd
+    haversine expressions; at scale the cell isin prunes partitions of a
+    cell-partitioned points table exactly like knn_points.
+    """
+    cells = sorted({
+        c for la, ln in track for c in _cap_cells(la, ln, eps_m)
+    })
+    from ..functions.geo import tile_id
+
+    cand = points.withColumn(
+        "cell",
+        tile_id(F.col("lat"), F.col("lng"), GRID_LAT0, GRID_LNG0,
+                GRID_CELL_DEG, GRID_COLS),
+    ).where(F.col("cell").isin(cells))
+    dists = [
+        haversine_m(F.col("lat"), F.col("lng"),
+                    F.lit(float(la)), F.lit(float(ln)))
+        for la, ln in track
+    ]
+    mind = F.least(*dists) if len(dists) > 1 else dists[0]
+    return (
+        cand.where(mind <= F.lit(float(eps_m)))
+        .select("event_id", "user_id",
+                F.round(mind).cast("bigint").alias("dist_m"))
     )
 
 

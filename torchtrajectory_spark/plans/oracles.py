@@ -418,6 +418,40 @@ WHERE {hav} <= {radius_m!r}
 """.strip()
 
 
+def _hav_sql(lat_c: float, lng_c: float) -> str:
+    """Haversine vs a fixed center, operand-for-operand as
+    functions/geo.haversine_m sequences it."""
+    return (
+        f"2.0 * 6371000.0 * asin(sqrt("
+        f"sin(radians({lat_c!r} - lat) / 2) * sin(radians({lat_c!r} - lat) / 2)"
+        f" + cos(radians(lat)) * cos(radians({lat_c!r}))"
+        f" * sin(radians({lng_c!r} - lng) / 2) * sin(radians({lng_c!r} - lng) / 2)"
+        f"))"
+    )
+
+
+def points_near_track_sql(track: list[tuple[float, float]],
+                          eps_m: float) -> str:
+    """ε-ball candidate-join oracle (J6): a point qualifies when its
+    distance to the NEAREST track point is <= eps (the grid candidate
+    phase is a superset filter); dist_m = rounded least() over the same
+    per-point haversine expressions the Spark plan evaluates."""
+    mind = "least(" + ", ".join(
+        _hav_sql(la, ln) for la, ln in track
+    ) + ")"
+    return f"""
+WITH pts AS (
+  SELECT event_id, user_id,
+         value % 120 - 60 AS lat,
+         (value * 3) % 360 - 180 AS lng
+  FROM events
+)
+SELECT event_id, user_id, CAST(round({mind}) AS BIGINT) AS dist_m
+FROM pts
+WHERE {mind} <= {eps_m!r}
+""".strip()
+
+
 def knn_points_sql(lat_c: float, lng_c: float, k: int) -> str:
     """k-NN oracle (J5): exhaustive haversine ORDER BY + LIMIT — the ring
     expansion is a candidate strategy only; results must be identical."""

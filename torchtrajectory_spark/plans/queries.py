@@ -407,6 +407,23 @@ def q_points_in_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ε-ball candidate join (J6): a short query track near the radius
+# center; ε sized so the result is a few hundred rows at sf0.01
+TRACK = [(-10.0, -30.0), (-14.0, -24.0), (-19.0, -36.0)]
+TRACK_EPS_M = 900_000.0
+
+
+def q_points_near_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — per-query-point ε-ball candidates, unioned across the track,
+    exact nearest-track-point refine (``LEVI.java:120-131,190-199``)."""
+    from ..operators import trajectory
+
+    return trajectory.points_near_track(
+        trajectory.synth_points(_events(spark, sf_dir)),
+        TRACK, TRACK_EPS_M,
+    )
+
+
 KNN_K = 25
 
 
@@ -661,6 +678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "points_near_track": q_points_near_track,  # NEW in r4 (J6 full)
     # -- body (all r03-green) --
     "anti_visited": q_anti_visited,
     "resolve_topk": q_resolve_topk,
@@ -695,8 +713,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
+    # -- tail: driver-green in r01, r02 AND r03; sit out this round
+    # (cluster_paths r03-green, bumped by the new J6 entry) --
     "cluster_paths": q_cluster_paths,
-    # -- tail: driver-green in r01, r02 AND r03; sit out this round --
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
     "bool_or_indexed": q_bool_or_indexed,
@@ -767,6 +786,7 @@ ORACLES: dict[str, str] = {
     "points_in_radius": oracles.points_in_radius_sql(
         *RADIUS_CENTER, RADIUS_M
     ),
+    "points_near_track": oracles.points_near_track_sql(TRACK, TRACK_EPS_M),
     "densify_hops": oracles.densify_hops_sql(DENSIFY_STEP, DENSIFY_USER),
     "knn_points": oracles.knn_points_sql(*RADIUS_CENTER, KNN_K),
     "cluster_first_assign": oracles_ext.first_assign_index_sql(
