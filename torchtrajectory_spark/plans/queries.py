@@ -10,6 +10,7 @@ value encodings.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -59,8 +60,6 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ensure_index(spark: SparkSession, sf_dir: str,
                  with_positions: bool = False) -> str:
     """Build (or reuse) the compressed inverted index for a test sf_dir."""
-    import shutil
-
     from ..config import INDEX_FORMAT_VERSION
     from ..operators.index import read_index_config
 
@@ -105,10 +104,21 @@ def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
     queries against it must be indistinguishable from the original."""
     from ..operators.index import compact_index
 
+    from ..config import INDEX_FORMAT_VERSION
+    from ..operators.index import read_index_config
+
     src = ensure_index(spark, sf_dir)
     tag = os.path.basename(os.path.normpath(sf_dir))
     dst = os.path.join(tempfile.gettempdir(), f"tts_compacted_{tag}")
     marker = os.path.join(dst, "manifest", "segment=0")
+    if os.path.isdir(marker):
+        # stale-format guard (same as ensure_index)
+        try:
+            cfg = read_index_config(dst)
+        except Exception:
+            cfg = {}
+        if cfg.get("format_version") != INDEX_FORMAT_VERSION:
+            shutil.rmtree(dst, ignore_errors=True)
     if not os.path.isdir(marker):
         compact_index(spark, src, dst)
     return dst
