@@ -75,8 +75,10 @@ RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 # chooses WHEN to measure on a shared box. Every wait (and the budget
 # spent) is recorded in the artifact under "idle_waits".
 IDLE_LOADAVG = float(os.environ.get("SPARK_GRAFT_IDLE_LOADAVG", "4"))
+# Shared across all gates; sized so the worst case adds <= 10 min to the
+# run (observed usage across the three committed r4 runs: 85-130 s).
 IDLE_WAIT_BUDGET = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT_BUDGET",
-                                        "900"))
+                                        "600"))
 
 _IDLE_WAITS: list[dict] = []
 _IDLE_BUDGET_LEFT = [IDLE_WAIT_BUDGET]

@@ -201,3 +201,29 @@ def test_build_pathological_corpora(spark, tmp_path):
         "doc_id").distinct().count() == 1
     rows = topk_bm25_index(spark, d1, ["héllo"], 5).collect()
     assert [r["doc_id"] for r in rows] == [3]
+
+
+def test_stale_format_caches_rebuild(spark):
+    """ensure_index AND ensure_compacted_index rebuild a cached /tmp index
+    whose format_version mismatches the engine (a stale cache from an
+    older build must rebuild, not fail at decode time)."""
+    import json
+    import os
+
+    from torchtrajectory_spark.config import INDEX_FORMAT_VERSION
+    from torchtrajectory_spark.plans.queries import (
+        ensure_compacted_index,
+        ensure_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for ensure in (ensure_index, ensure_compacted_index):
+        d = ensure(spark, sf)
+        cfgp = os.path.join(d, "index_config.json")
+        cfg = json.load(open(cfgp))
+        cfg["format_version"] = -1
+        json.dump(cfg, open(cfgp, "w"))
+        d2 = ensure(spark, sf)
+        assert d2 == d
+        got = json.load(open(os.path.join(d2, "index_config.json")))
+        assert got["format_version"] == INDEX_FORMAT_VERSION
