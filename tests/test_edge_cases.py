@@ -227,3 +227,25 @@ def test_stale_format_caches_rebuild(spark):
         assert d2 == d
         got = json.load(open(os.path.join(d2, "index_config.json")))
         assert got["format_version"] == INDEX_FORMAT_VERSION
+
+
+def test_embedding_near_dup_keep_collapses_chains(spark):
+    """a~b and b~c by cosine (a!~c directly) share one keeper; distinct
+    vectors keep themselves — the text keep rule on the embedding side."""
+    import numpy as np
+
+    from torchtrajectory_spark.operators.dedup import embedding_near_dup_keep
+
+    base = np.ones(8)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + np.array([0.02] + [0.0] * 7)]),
+        (2, [float(x) for x in base + np.array([0.04] + [0.0] * 7)]),
+        (3, [1.0, -1.0] * 4),  # orthogonal-ish
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    keep = {r["vec_id"]: r["keep_vec_id"]
+            for r in embedding_near_dup_keep(emb, 0.9999,
+                                             n_centroids=1).collect()}
+    assert keep[0] == 0 and keep[1] == 0 and keep[2] == 0
+    assert keep[3] == 3

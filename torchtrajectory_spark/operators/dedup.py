@@ -387,6 +387,17 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
     """
     edges = jaccard_pairs_lsh(df, threshold, id_col, text_col,
                               analyzer).select("doc_a", "doc_b")
+    return components_keep(df.select(F.col(id_col).alias("doc_id")),
+                           edges, n_iters)
+
+
+def components_keep(ids: DataFrame, edges: DataFrame,
+                    n_iters: int = KEEP_ITERS) -> DataFrame:
+    """(doc_id, keep_doc_id) from an (ids, undirected-edge) graph — the
+    connected-components core of ``near_dup_keep``, factored so every
+    near-dup edge source (text Jaccard, SimHash, embedding cosine) shares
+    the identical 2-hop-closure + fixed-iteration min-label propagation
+    (and therefore the identical oracle CTE schedule)."""
     und1 = edges.union(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -431,8 +442,7 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
     # materialize eagerly (truncates lineage), then release the cached
     # edge blocks — repeated invocations no longer leak storage
     out = (
-        df.select(F.col(id_col).alias("doc_id"))
-        .join(labels, "doc_id", "left")
+        ids.join(labels, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("label"), F.col("doc_id"))
@@ -442,6 +452,32 @@ def near_dup_keep(df: DataFrame, threshold: float, id_col: str = "doc_id",
     )
     und.unpersist()
     return out
+
+
+def embedding_near_dup_keep(emb: DataFrame, threshold: float,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            n_centroids: int | None = None,
+                            n_iters: int = KEEP_ITERS) -> DataFrame:
+    """(vec_id, keep_vec_id) — the embedding-side dedup DECISION: IVF-cell
+    blocked cosine near-dup pairs (``similarity.embedding_near_dup``) fed
+    through the same connected-components keep rule as the text pipeline
+    (``components_keep``): component representative = smallest vec_id,
+    singletons keep themselves. One Arrow assignment pass + one shuffle
+    for the pairs, then the bounded edge-touched label propagation —
+    corpus joins once at the end."""
+    from .similarity import N_CENTROIDS, embedding_near_dup
+
+    pairs = embedding_near_dup(
+        emb, threshold, id_col, vec_col,
+        n_centroids=n_centroids if n_centroids is not None else N_CENTROIDS,
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    return components_keep(
+        emb.select(F.col(id_col).alias("doc_id")), pairs, n_iters
+    ).select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("keep_doc_id").alias("keep_vec_id"),
+    )
 
 
 def _nibble(hex_col, i: int):

@@ -459,13 +459,14 @@ FROM documents,
 """.strip()
 
 
-def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
-    """Dedup keep-list oracle: the SAME 2-hop closure + fixed-iteration
-    min-label propagation as operators/dedup.py near_dup_keep, as nested
-    CTEs over the LSH-candidates-then-verified Jaccard pair graph."""
-    edges = jaccard_pairs_lsh_sql(threshold)
+def _components_keep_sql(edges_sql: str, ids_sql: str, n_iters: int,
+                         id_out: str, keep_out: str) -> str:
+    """Shared connected-components oracle: the SAME 2-hop closure +
+    fixed-iteration min-label propagation as
+    operators/dedup.components_keep, as nested CTEs over any
+    (doc_a, doc_b) edge subquery."""
     ctes = [
-        f"edges AS (SELECT doc_a, doc_b FROM ({edges}))",
+        f"edges AS (SELECT doc_a, doc_b FROM ({edges_sql}))",
         ("und1 AS (SELECT doc_a, doc_b FROM edges "
          "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM edges)"),
         ("und AS (SELECT DISTINCT doc_a, doc_b FROM ("
@@ -473,7 +474,7 @@ def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
          "UNION ALL "
          "SELECT x.doc_a, y.doc_b FROM und1 x JOIN und1 y "
          "ON x.doc_b = y.doc_a WHERE x.doc_a <> y.doc_b))"),
-        "l0 AS (SELECT doc_id, doc_id AS label FROM documents)",
+        f"l0 AS (SELECT doc_id, doc_id AS label FROM ({ids_sql}))",
     ]
     for i in range(n_iters):
         prev, cur = f"l{i}", f"l{i + 1}"
@@ -487,7 +488,31 @@ def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
         )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT doc_id, label AS keep_doc_id FROM l{n_iters}"
+        + f"\nSELECT doc_id AS {id_out}, label AS {keep_out} "
+          f"FROM l{n_iters}"
+    )
+
+
+def near_dup_keep_sql(threshold: float, n_iters: int) -> str:
+    """Dedup keep-list oracle over the LSH-candidates-then-verified
+    Jaccard pair graph."""
+    return _components_keep_sql(
+        jaccard_pairs_lsh_sql(threshold),
+        "SELECT doc_id FROM documents",
+        n_iters, "doc_id", "keep_doc_id",
+    )
+
+
+def embedding_near_dup_keep_sql(threshold: float, n_iters: int) -> str:
+    """Embedding keep-list oracle: IVF-cell-blocked cosine pairs fed
+    through the identical components schedule."""
+    edges = (
+        f"SELECT vec_a AS doc_a, vec_b AS doc_b "
+        f"FROM ({embedding_near_dup_sql(threshold)})"
+    )
+    return _components_keep_sql(
+        edges, "SELECT vec_id AS doc_id FROM embeddings",
+        n_iters, "vec_id", "keep_vec_id",
     )
 
 

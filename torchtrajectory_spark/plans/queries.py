@@ -654,6 +654,13 @@ def q_emb_near_dup_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dedup DECISION: connected components over the cosine
+    near-dup pairs, keeper = smallest vec_id (the text pipeline's
+    near_dup_keep rule on the embedding side)."""
+    return dedup.embedding_near_dup_keep(_emb(spark, sf_dir), EMB_DUP_T)
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -689,6 +696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
     "points_near_track": q_points_near_track,  # NEW in r4 (J6 full)
+    "embedding_near_dup_keep": q_emb_near_dup_keep,  # NEW in r4
     # -- body (all r03-green) --
     "anti_visited": q_anti_visited,
     "resolve_topk": q_resolve_topk,
@@ -722,9 +730,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_assign": q_cluster_assign,
     "cluster_kmeans": q_cluster_kmeans,
     "cluster_metrics": q_cluster_metrics,
-    "cluster_top_terms": q_cluster_top_terms,
     # -- tail: driver-green in r01, r02 AND r03; sit out this round
-    # (cluster_paths r03-green, bumped by the new J6 entry) --
+    # (cluster_top_terms / cluster_paths r03-green, bumped by the two
+    # new r4 entries) --
+    "cluster_top_terms": q_cluster_top_terms,
     "cluster_paths": q_cluster_paths,
     "bool_or": q_bool_or,
     "bool_and": q_bool_and,
@@ -752,6 +761,9 @@ ORACLES: dict[str, str] = {
     "ann_ivf_topk": oracles_ext.ann_ivf_topk_sql(ANN_QID, K),
     "embedding_near_dup": oracles_ext.embedding_near_dup_sql(EMB_DUP_T),
     "embedding_near_dup_mp": oracles_ext.embedding_near_dup_mp_sql(EMB_DUP_T),
+    "embedding_near_dup_keep": oracles_ext.embedding_near_dup_keep_sql(
+        EMB_DUP_T, dedup.KEEP_ITERS
+    ),
     "token_count": oracles_ext.token_count_sql(),
     "quality_score": oracles_ext.quality_score_sql(),
     "lang_id": oracles_ext.lang_id_sql(),
