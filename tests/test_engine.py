@@ -210,3 +210,30 @@ def test_blockmax_skips_payload_decode_on_skewed_corpus(spark, tmp_path):
     eng = Engine.from_index(spark, out)
     spark_rows = eng.find_topk(["hot"], k).collect()
     assert [r["doc_id"] for r in spark_rows] == list(got["doc_id"])
+
+
+def test_find_topk_many_filtered_rank_identical(spark, engine):
+    """find_topk_many(where=...) == find_topk(where=...) per query: the
+    batch path's cogrouped allowed-set carries the same F2-in-the-loop
+    semantics as the single-query filtered scorer (heap membership
+    restricted, scores index-wide)."""
+    eng, _ = engine
+    pred = F.col("lang").isin("en", "fr")
+    queries = {"a": ["spark", "join"], "b": ["dup", "vector"],
+               "c": ["zzz_not_a_term"]}
+    batch = eng.find_topk_many(queries, 5, where=pred).collect()
+    by_q: dict[str, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qid, q in queries.items():
+        exp = [(r["doc_id"], round(r["score"], 9))
+               for r in eng.find_topk(q, 5, where=pred).collect()]
+        assert sorted(by_q.get(qid, []), key=lambda t: (-t[1], t[0])) == exp
+    # the predicate actually bites: filtered != unfiltered for >= 1 query
+    unfiltered = eng.find_topk_many(queries, 5).collect()
+    ub_q: dict[str, list] = {}
+    for r in unfiltered:
+        ub_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert any(sorted(d for d, _ in by_q.get(q, [])) != sorted(ub_q.get(q, []))
+               for q in queries)

@@ -102,7 +102,8 @@ class Engine:
         )
 
     def find_topk_many(self, queries: dict[str, list[str]],
-                       k: int = DEFAULT_K) -> DataFrame:
+                       k: int = DEFAULT_K,
+                       where: Column | None = None) -> DataFrame:
         """Batch top-k BM25 — the PREFERRED entry for evaluating a query
         SET (the reference's driver-side loop over ``findTopK``,
         ``EdgeInvertedIndex.java:102``, re-expressed as one job). Returns
@@ -110,12 +111,14 @@ class Engine:
         score-identical to ``find_topk`` run alone (tested). One postings
         scan covers the union of all terms, each term's blocks decode
         ONCE, and the per-query fixed stage cost is paid once for the
-        whole set (measured 8.7x over the loop at 20 queries)."""
+        whole set (measured 8.7x over the loop at 20 queries). ``where``
+        applies the same doc_stats metadata predicate to every query in
+        the set (F2-in-the-loop, as in ``find_topk``)."""
         all_terms = sorted({str(t) for q in queries.values() for t in q})
         return topk_bm25_index_many(
             self.spark, self.index_dir, queries, k,
             buckets=self._buckets, k1=self.k1, b=self.b,
-            meta=self._term_meta(all_terms),
+            meta=self._term_meta(all_terms), predicate=where,
         )
 
     def _term_meta(self, terms: list[str]) -> IndexMeta:

@@ -288,18 +288,21 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
 
 def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
                        k: int, meta: IndexMeta,
-                       k1: float, b: float) -> pd.DataFrame:
+                       k1: float, b: float,
+                       allowed: np.ndarray | None = None) -> pd.DataFrame:
     """Batch variant: ONE postings decode per term, then the same
     block-max WAND scan per query over the shared arrays. Output carries
     ``query_id``; each query's rows are exactly what ``_segment_topk``
-    would return for it (asserted by the batch rank-identity test)."""
+    would return for it (asserted by the batch rank-identity test).
+    ``allowed`` restricts heap membership for EVERY query in the set
+    (F2-in-the-loop, same semantics as the single-query filtered path)."""
     all_terms = sorted({t for _, q in queries for t in q})
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs)
            for t in all_terms}
     term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
     outs = []
     for qid, q in queries:
-        r = _scan_topk(term_arrays, q, idf, k, meta, k1, b)
+        r = _scan_topk(term_arrays, q, idf, k, meta, k1, b, allowed=allowed)
         r.insert(0, "query_id", qid)
         outs.append(r)
     if not outs:
@@ -356,6 +359,7 @@ def topk_bm25_index_many(
     b: float = BM25_B,
     scalars: tuple[float, float] | None = None,
     meta: IndexMeta | None = None,
+    predicate=None,
 ) -> DataFrame:
     """Batch top-k BM25: score a whole query SET in one pass.
 
@@ -389,15 +393,39 @@ def topk_bm25_index_many(
         "doc_gaps", "tfs", "dls",
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _segment_topk_many(
-            pdf.drop(columns=["segment"]), qmap, k, meta, k1, b
+    out_schema = "query_id string, doc_id bigint, score double"
+    if predicate is not None:
+        # F2-in-the-loop for the whole set: the allowed-doc set cogroups
+        # per segment into the same shared-decode scorer; scores keep
+        # index-wide statistics (identical semantics to the single-query
+        # filtered path, shared-decode identical to the unfiltered batch)
+        from .index import read_doc_stats
+
+        allowed_df = (
+            read_doc_stats(spark, index_dir)
+            .where(predicate)
+            .select("segment", "doc_id")
         )
 
-    per_seg = blocks.groupBy("segment").applyInPandas(
-        lambda key_pdf: run(key_pdf),
-        schema="query_id string, doc_id bigint, score double",
-    )
+        def run_filtered(blk: pd.DataFrame, alw: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
+            return _segment_topk_many(
+                blk.drop(columns=["segment"]), qmap, k, meta, k1, b,
+                allowed=ids,
+            )
+
+        per_seg = blocks.groupBy("segment").cogroup(
+            allowed_df.groupBy("segment")
+        ).applyInPandas(run_filtered, schema=out_schema)
+    else:
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _segment_topk_many(
+                pdf.drop(columns=["segment"]), qmap, k, meta, k1, b
+            )
+
+        per_seg = blocks.groupBy("segment").applyInPandas(
+            lambda key_pdf: run(key_pdf), schema=out_schema
+        )
     # per-query merge of the tiny per-segment lists: Q x segments x k
     # rows through one window — the same (score DESC, doc_id ASC)
     # tie-break as the single-query TakeOrderedAndProject

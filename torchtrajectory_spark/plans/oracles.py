@@ -122,6 +122,63 @@ SELECT query_id, doc_id, score_u6 FROM ranked WHERE rn <= {k}
 """.strip()
 
 
+def bm25_topk_batch_filtered_sql(queries: dict[str, list[str]], k: int,
+                                 pred_sql: str, k1: float = BM25_K1,
+                                 b: float = BM25_B) -> str:
+    """Batch top-k with a metadata predicate on candidates: per-query
+    rankings restricted to predicate-selected docs while scores keep
+    corpus-wide statistics — ``topk_bm25_index_many(predicate=...)``
+    semantics (filter the heap, not the stats; same tie-break)."""
+    qmap = {str(qid): sorted(set(str(t) for t in ts))
+            for qid, ts in queries.items()}
+    all_terms = sorted({t for ts in qmap.values() for t in ts})
+    tl = _terms_list(all_terms)
+    qvals = ", ".join(
+        f"('{qid}', '{t.replace(chr(39), chr(39) * 2)}')"
+        for qid in sorted(qmap) for t in qmap[qid]
+    )
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+q(query_id, term) AS (VALUES {qvals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM q
+  JOIN tf USING (term)
+  JOIN dfs ON dfs.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         CAST(round(s.score * 1e6) AS BIGINT) AS score_u6,
+         row_number() OVER (
+           PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE {pred_sql}
+)
+SELECT query_id, doc_id, score_u6 FROM ranked WHERE rn <= {k}
+""".strip()
+
+
 def bm25_topk_filtered_sql(terms: list[str], k: int, pred_sql: str,
                            k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Top-k with metadata predicate on candidates, index-wide stats (F2

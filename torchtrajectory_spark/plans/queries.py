@@ -184,6 +184,20 @@ def q_topk_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_bm25_batch_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k under a shared metadata predicate: one postings scan +
+    one cogrouped Python stage for the whole query set, heap membership
+    restricted to the lang-filtered docs, scores index-wide (F2)."""
+    idx = ensure_index(spark, sf_dir)
+    r = _engine(spark, idx).find_topk_many(
+        Q_BATCH, K, where=F.col("lang").isin(FILTER_LANGS)
+    )
+    return r.select(
+        "query_id", "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
+    )
+
+
 def q_topk_bm25_rare(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
     return _score_u6(_engine(spark, idx).find_topk(Q_TOPK_RARE, K))
@@ -708,6 +722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs_exact": q_dedup_jaccard_exact,
     "knn_points": q_knn_points,
     "topk_bm25_batch": q_topk_bm25_batch,
+    "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,  # NEW in r4
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -729,10 +744,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_trigram_indexed": q_phrase_trigram_indexed,
     "cluster_assign": q_cluster_assign,
     "cluster_kmeans": q_cluster_kmeans,
-    "cluster_metrics": q_cluster_metrics,
     # -- tail: driver-green in r01, r02 AND r03; sit out this round
-    # (cluster_top_terms / cluster_paths r03-green, bumped by the two
-    # new r4 entries) --
+    # (cluster_metrics / cluster_top_terms / cluster_paths r03-green,
+    # bumped past the 50-row cap by the three new r4 entries) --
+    "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
     "cluster_paths": q_cluster_paths,
     "bool_or": q_bool_or,
@@ -772,6 +787,9 @@ ORACLES: dict[str, str] = {
     "topk_bm25_indexed": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_rare": oracles.bm25_topk_sql(Q_TOPK_RARE, K),
     "topk_bm25_batch": oracles.bm25_topk_batch_sql(Q_BATCH, K),
+    "topk_bm25_batch_filtered": oracles.bm25_topk_batch_filtered_sql(
+        Q_BATCH, K, FILTER_PRED_SQL
+    ),
     "topk_bm25_filtered": oracles.bm25_topk_filtered_sql(
         Q_TOPK, K, FILTER_PRED_SQL
     ),
