@@ -41,6 +41,12 @@ def main() -> None:
     eng.find_topk(["def", "return"], 5,
                   where=F.col("lang") == "py").show(truncate=False)
 
+    print("== batch: a query SET in one pass (optionally filtered) ==")
+    eng.find_topk_many(
+        {"defs": ["def", "return"], "rust": ["fn", "impl"]}, 3,
+        where=F.col("lang").isin("py", "rs"),
+    ).orderBy("query_id", F.col("score").desc()).show(truncate=False)
+
     print("== boolean AND ==")
     print(eng.find_on_strict_path(["fn", "impl", "trait"]).count(),
           "docs contain all of fn/impl/trait")
