@@ -128,3 +128,34 @@ def test_block_max_is_valid_upper_bound(case):
         tfs, ds = tp.tf_dl_at(np.arange(tp.docs.size))
         true = idf[t] * tf_sat_np(tfs, ds, avgdl, BM25_K1, BM25_B)
         assert np.all(tp.member_ub >= true - 1e-12)
+
+
+@settings(max_examples=30, deadline=None)
+@given(corpora())
+def test_segment_topk_many_equals_per_query_scans(case):
+    """The shared-decode batch scorer must emit, per query, exactly the
+    single-query scan's rows — for random corpora, block splits, k, and
+    an allowed-set restriction applied to the whole set."""
+    from torchtrajectory_spark.operators.wand import _segment_topk_many
+
+    dls, postings, block_size, k, allowed = case
+    pdf = _block_frame(postings, dls, block_size)
+    if pdf.empty:
+        return
+    n_docs = float(len(dls))
+    avgdl = float(np.mean(dls))
+    meta = IndexMeta(n_docs, avgdl,
+                     {t: float(len(m)) for t, m in postings.items()})
+    queries = [("a", ["t0", "t1"]), ("b", ["t2"]), ("c", list(TERMS)),
+               ("d", ["zzz_absent"])]
+    batch = _segment_topk_many(pdf, queries, k, meta, BM25_K1, BM25_B,
+                               allowed=allowed)
+    idf_all = {t: idf_py(meta.term_df.get(t, 0.0), n_docs) for t in TERMS}
+    for qid, q in queries:
+        idf = {t: idf_all.get(t, idf_py(0.0, n_docs)) for t in q}
+        arrays = _build_term_arrays(pdf, idf_all, avgdl, BM25_K1, BM25_B)
+        single = _scan_topk(arrays, q, idf, k, meta, BM25_K1, BM25_B,
+                            allowed=allowed)
+        part = batch[batch["query_id"] == qid]
+        assert list(part["doc_id"]) == list(single["doc_id"])
+        assert list(part["score"]) == list(single["score"])
