@@ -106,3 +106,26 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert rec["batch"] is True
     assert rec["topk"]["q00"] == lines[0]["topk"]
     assert rec["topk"]["q01"] == lines[1]["topk"]
+
+    # filtered batch mode: the --lang predicate plumbs through to the
+    # cogrouped F2 scorer; every surviving (doc, score) pair must come
+    # from the unfiltered ranking's doc universe restricted to the lang
+    # (exactness is pinned by the engine oracle tests — here we prove
+    # the CLI wires the predicate end-to-end and the filter bites)
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "def return",
+        "--query", "class import", "-k", "5", "--batch", "--lang", "py",
+    ])
+    frec = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert frec["langs"] == ["py"]
+    for qid in ("q00", "q01"):
+        scores = [s for _, s in frec["topk"][qid]]
+        assert scores == sorted(scores, reverse=True)
+        assert len(scores) <= 5
+    # the synthetic corpus mixes langs, so restricting to py must change
+    # at least one query's result set
+    assert frec["topk"] != rec["topk"]
