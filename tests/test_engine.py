@@ -237,3 +237,17 @@ def test_find_topk_many_filtered_rank_identical(spark, engine):
         ub_q.setdefault(r["query_id"], []).append(r["doc_id"])
     assert any(sorted(d for d, _ in by_q.get(q, [])) != sorted(ub_q.get(q, []))
                for q in queries)
+
+
+def test_find_topk_many_filtered_empty_predicate(spark, engine):
+    """A predicate matching zero docs returns an empty frame (stable
+    schema, no exception) — the cogrouped scorer must handle segments
+    whose allowed set is empty."""
+    eng, _ = engine
+    out = eng.find_topk_many(
+        {"a": ["spark", "join"], "b": ["zzz_not_a_term"]}, 5,
+        where=F.col("lang") == "no_such_lang",
+    )
+    assert [f.name for f in out.schema.fields] == ["query_id", "doc_id",
+                                                   "score"]
+    assert out.count() == 0
