@@ -425,3 +425,61 @@ def test_index_stats_reports_empty_segment(spark, tmp_path):
     assert int(st["postings"].iloc[0]) == 0
     assert int(st["blocks"].iloc[0]) == 0
     assert st["compression_ratio"].isna().all()
+
+
+def test_merge_indexes_rank_identical_to_single_build(spark, corpus,
+                                                      index_dir,
+                                                      tmp_path_factory):
+    """Shard-then-combine: two independently built half-corpus indexes,
+    merged at the metadata level, must answer every query rank- AND
+    score-identically to the single build over the whole corpus (global
+    BM25 stats are associative aggregates the query path already sums
+    across segments)."""
+    from torchtrajectory_spark.operators.index import merge_indexes
+
+    base = tmp_path_factory.mktemp("merge")
+    half = N_ROWS // 2
+    parts = []
+    for i, pred in enumerate([F.col("doc_id") < half,
+                              F.col("doc_id") >= half]):
+        d = str(base / f"shard{i}")
+        build_index(
+            spark, corpus.where(pred), d,
+            id_col="doc_id", text_col="content", analyzer="code",
+            meta_cols=("repo", "path", "commit", "lang"),
+            n_segments=2, buckets=BUCKETS,
+        )
+        parts.append(d)
+    merged = str(base / "merged")
+    merge_indexes(spark, parts, merged, verify_disjoint=True)
+
+    from torchtrajectory_spark.operators.index import read_manifest
+
+    m = read_manifest(spark, merged)
+    assert m.count() == 4  # 2 shards x 2 segments, re-homed 0..3
+    assert sorted(r["segment"] for r in m.collect()) == [0, 1, 2, 3]
+    assert m.agg(F.sum("row_count")).first()[0] == N_ROWS
+
+    for q in (["def", "return"], ["class", "import", "id_0"], ["id_42"],
+              ["zzz_absent"]):
+        exp = [(r["doc_id"], round(r["score"], 9))
+               for r in topk_bm25_index(spark, index_dir, q, 10).collect()]
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in topk_bm25_index(spark, merged, q, 10).collect()]
+        assert got == exp
+
+    # overlapping doc spaces must be rejected under verify_disjoint
+    bad = str(base / "bad")
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_indexes(spark, [parts[0], parts[0]], bad,
+                      verify_disjoint=True)
+
+    # config mismatch must be rejected outright
+    other = str(base / "other_buckets")
+    build_index(
+        spark, corpus.where(F.col("doc_id") < 50), other,
+        id_col="doc_id", text_col="content", analyzer="code",
+        n_segments=1, buckets=BUCKETS * 2,
+    )
+    with pytest.raises(ValueError, match="buckets"):
+        merge_indexes(spark, [parts[0], other], str(base / "bad2"))

@@ -790,6 +790,88 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
                         os.path.join(paths.manifest, "segment=0"))
 
 
+def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
+                  verify_disjoint: bool = False) -> None:
+    """Merge independently BUILT indexes into one — the shard-then-combine
+    pattern for bulk ingest at scale: N independent build jobs each index
+    a corpus slice, then this metadata-level merge re-homes their
+    committed segments under fresh sequential segment ids. Postings /
+    doc_stats / terms segment directories are copied byte-identical (the
+    segment identity lives in the ``segment=<s>`` directory name, not in
+    the data files); only the one-row manifest markers are rewritten with
+    the new ids. No Spark job touches postings bytes.
+
+    Correctness: query results over the merged index are EXACTLY the
+    single-build results over the union corpus (rank- and
+    score-identical, tested) because every global BM25 statistic is an
+    associative aggregate the query path already computes across
+    segments — n_docs / avgdl from manifest row_count / sum_dl sums, df
+    from the per-segment terms partials. The reference has no sharded
+    build (single JVM); this is the Spark-native analog of a Lucene
+    addIndexes / segment-directory import.
+
+    Caller guarantee: doc_id spaces of the sources are DISJOINT (e.g.
+    shard the corpus by doc_id range). ``verify_disjoint=True`` runs one
+    aggregation over the merged doc_stats and raises on any duplicate.
+    Sources must agree on buckets / block_size / with_positions /
+    analyzer (validated — term bucketing and scoring depend on them).
+    """
+    if not src_dirs:
+        raise ValueError("merge_indexes: no source indexes given")
+    cfgs = [read_index_config(d) for d in src_dirs]
+    keys = ("buckets", "block_size", "with_positions", "analyzer")
+    for key in keys:
+        vals = {c.get(key) for c in cfgs}
+        if len(vals) > 1:
+            raise ValueError(
+                f"merge_indexes: sources disagree on {key!r}: {sorted(map(str, vals))}"
+            )
+    dst = IndexPaths(dst_dir)
+    os.makedirs(dst.manifest, exist_ok=True)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    next_seg = 0
+    for src_dir in src_dirs:
+        src = IndexPaths(src_dir)
+        for s in sorted(_done_segments(spark, src)):
+            new = next_seg
+            next_seg += 1
+            for base_src, base_dst in ((src.postings, dst.postings),
+                                       (src.doc_stats, dst.doc_stats),
+                                       (src.terms, dst.terms)):
+                seg_src = src.seg(base_src, s)
+                if os.path.isdir(seg_src):  # zero-posting segments may
+                    shutil.copytree(seg_src, dst.seg(base_dst, new))
+            # manifest row embeds the segment id -> rewrite it, then
+            # commit marker-last with the same atomic rename as a build
+            t = pq.read_table(src.seg(src.manifest, s))
+            idx = t.schema.get_field_index("segment")
+            t = t.set_column(idx, "segment",
+                             pa.array([new] * t.num_rows, t.schema[idx].type))
+            tmp = dst.seg(dst.manifest, new) + ".__tmp__"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+            os.replace(tmp, dst.seg(dst.manifest, new))
+    _write_index_config(dst_dir, {**cfgs[0], "n_segments": next_seg,
+                                  "merged_from": list(src_dirs)})
+    invalidate_index_cache(dst_dir)
+    if verify_disjoint:
+        dup = (
+            read_doc_stats(spark, dst_dir)
+            .groupBy("doc_id").count().where(F.col("count") > 1)
+        )
+        n = dup.limit(1).count()
+        if n:
+            raise ValueError(
+                "merge_indexes: sources share doc_ids (first duplicate: "
+                f"{dup.first()['doc_id']}) — doc spaces must be disjoint"
+            )
+
+
 def _write_index_config(index_dir: str, cfg: dict) -> None:
     import json
 
