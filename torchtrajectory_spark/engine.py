@@ -121,6 +121,43 @@ class Engine:
             meta=self._term_meta(all_terms), predicate=where,
         )
 
+    def find_topk_prefix(self, prefix: str, k: int = DEFAULT_K,
+                         max_terms: int = 64) -> DataFrame:
+        """Prefix top-k BM25 (Lucene ``PrefixQuery`` with the scoring
+        boolean rewrite): expand ``prefix`` against the term dictionary
+        (df-descending cap at ``max_terms``), score the expansion as a
+        multi-term query — each matched term with its own idf. The
+        expansion (terms + their df) is memoized per (prefix, max_terms),
+        so warm repeats skip the dictionary scan."""
+        from .operators.wand import expand_prefix, topk_bm25_index_prefix
+
+        key = ("prefix", str(prefix), int(max_terms))
+        meta = self._meta_cache.get(key)
+        if meta is None:
+            if self._scalars is None:
+                from .operators.wand import _corpus_scalars
+
+                self._scalars = _corpus_scalars(self.spark, self.index_dir)
+            dfs = expand_prefix(self.spark, self.index_dir, prefix,
+                                max_terms)
+            meta = IndexMeta(self._scalars[0], self._scalars[1], dfs)
+            self._meta_cache[key] = meta
+        return topk_bm25_index_prefix(
+            self.spark, self.index_dir, prefix, k, max_terms=max_terms,
+            buckets=self._buckets, k1=self.k1, b=self.b, meta=meta,
+        )
+
+    def delete(self, doc_ids) -> int:
+        """Tombstone documents (Lucene live-docs semantics): every
+        subsequent query masks them out; corpus statistics keep counting
+        them until ``compact_index`` physically purges. Accepts an
+        iterable of ids or a one-column DataFrame; returns the count
+        recorded. Per-term-set statistic memos stay valid (masking does
+        not change df/avgdl by design)."""
+        from .operators.index import delete_docs
+
+        return delete_docs(self.spark, self.index_dir, doc_ids)
+
     def _term_meta(self, terms: list[str]) -> IndexMeta:
         """Memoized per-(index, term-set) statistics lookup: the df job
         (a bucket-pruned dictionary scan) runs once per distinct term
@@ -163,12 +200,22 @@ class Engine:
         """Range/window query over the doc store metadata (findInRange /
         J4 analog): the geometric window of the reference becomes a
         metadata predicate over doc_stats columns; at scale the predicate
-        prunes partitions/row groups of the doc_stats table."""
-        return (
+        prunes partitions/row groups of the doc_stats table. Tombstoned
+        docs are masked out (broadcast anti-join — the tombstone set is
+        bounded by deletes-since-compaction)."""
+        from pyspark.sql import functions as F
+
+        from .operators.index import read_tombstones
+
+        out = (
             read_doc_stats(self.spark, self.index_dir)
             .where(predicate)
             .select("doc_id")
         )
+        dead = read_tombstones(self.spark, self.index_dir)
+        if dead is not None:
+            out = out.join(F.broadcast(dead), "doc_id", "left_anti")
+        return out
 
     @staticmethod
     def find_in_radius(points: DataFrame, lat: float, lng: float,

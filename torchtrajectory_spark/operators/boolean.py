@@ -87,6 +87,7 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
     import pandas as pd
 
     from ..functions import codec
+    from .index import sorted_isin, tombstone_ids
     from .wand import _q_blocks
 
     q = sorted({str(t) for t in query_terms})
@@ -94,6 +95,7 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
     blocks = _q_blocks(spark, index_dir, q, buckets).select(
         "segment", "term", "doc_gaps"
     )
+    dead = tombstone_ids(index_dir)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         per_term = []
@@ -113,6 +115,8 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
                 out = np.intersect1d(out, arr, assume_unique=True)
                 if out.size == 0:
                     break
+        if dead is not None and out.size:
+            out = out[~sorted_isin(dead, out)]  # tombstone mask
         return pd.DataFrame({"doc_id": out})
 
     return blocks.groupBy("segment").applyInPandas(

@@ -373,7 +373,8 @@ def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
 
 
 def _merge_minis(pdf: pd.DataFrame, block_size: int,
-                 with_positions: bool) -> pd.DataFrame:
+                 with_positions: bool,
+                 blocked: np.ndarray | None = None) -> pd.DataFrame:
     """Reduce task: one (bucket, salt) group of mini-blocks -> canonical
     blocks. Decode all minis, merge docID-sorted per term, re-encode.
     Deterministic for any shuffle arrival order (docIDs are unique per
@@ -429,6 +430,19 @@ def _merge_minis(pdf: pd.DataFrame, block_size: int,
         "tf": tfs[order],
         "dl": dls[order],
     })
+    if blocked is not None and blocked.size:
+        # tombstone purge (compaction): drop dead postings BEFORE block
+        # cutting, so df / max_tf / min_dl block metadata are recomputed
+        # from live docs only
+        keep = ~sorted_isin(blocked, flat_df["doc_id"].to_numpy())
+        if not keep.all():
+            if flat_pos is not None:
+                flat_pos = flat_pos[
+                    np.repeat(keep, flat_df["tf"].to_numpy())
+                ]
+            flat_df = flat_df[keep].reset_index(drop=True)
+            if len(flat_df) == 0:
+                return pd.DataFrame({k: [] for k in cols})
     return _build_blocks(flat_df, block_size, presorted=True,
                          with_positions=with_positions,
                          flat_positions=flat_pos)
@@ -723,8 +737,11 @@ def compact_index(spark: SparkSession, src_dir: str, dst_dir: str,
     with_positions = bool(cfg.get("with_positions", False))
     paths = IndexPaths(dst_dir)
     os.makedirs(paths.manifest, exist_ok=True)
+    _ts = tombstone_ids(src_dir)
     _write_index_config(dst_dir, {**cfg, "n_segments": 1,
-                                  "compacted_from": src_dir})
+                                  "compacted_from": src_dir,
+                                  "purged_tombstones":
+                                      int(_ts.size) if _ts is not None else 0})
     t0 = time.monotonic()
     with use_table_format(cfg.get("table_format", "parquet")):
         _compact_body(spark, src_dir, paths, block_size, with_positions, t0)
@@ -735,10 +752,21 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
                   block_size: int, with_positions: bool, t0: float) -> None:
     from pyspark.sql import Observation
 
+    # tombstone purge: compaction is the point where masked deletes become
+    # physical — postings rows drop, df/block metadata recompute from live
+    # docs, doc_stats filters, and the manifest's row_count/sum_dl (hence
+    # n_docs/avgdl) shift to the purged corpus. The compacted index
+    # carries NO tombstones.
+    ts = tombstone_ids(src_dir)
+    bc_ts = spark.sparkContext.broadcast(ts) if ts is not None else None
+
     src_blocks = read_postings(spark, src_dir).drop("segment")
     wobs = Observation("compact_blocks")
     merged = src_blocks.groupBy("bucket", "salt").applyInPandas(
-        lambda pdf: _merge_minis(pdf, block_size, with_positions),
+        lambda pdf: _merge_minis(
+            pdf, block_size, with_positions,
+            blocked=(bc_ts.value if bc_ts is not None else None),
+        ),
         schema=POSTINGS_POS_SCHEMA if with_positions else POSTINGS_SCHEMA,
     )
     _atomic_write(
@@ -752,8 +780,12 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
         ),
         paths.seg(paths.postings, 0),
     )
-    _atomic_write(read_doc_stats(spark, src_dir).drop("segment"),
-                  paths.seg(paths.doc_stats, 0))
+    ds = read_doc_stats(spark, src_dir).drop("segment")
+    if ts is not None:
+        dead = spark.createDataFrame(
+            [(int(x),) for x in ts], "doc_id bigint")
+        ds = ds.join(F.broadcast(dead), "doc_id", "left_anti")
+    _atomic_write(ds, paths.seg(paths.doc_stats, 0))
     terms_df = (
         spark.read.parquet(paths.seg(paths.postings, 0))
         .groupBy("bucket", "term").agg(F.sum("n_docs").alias("df"))
@@ -766,19 +798,27 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
     for h in src_m["input_fingerprint"]:
         fp ^= int(h, 16)
     wm = wobs.get
-    if "sum_dl" in src_m:
+    if ts is not None:
+        # purged compaction: corpus scalars must reflect the LIVE docs —
+        # one aggregation over the just-written (filtered) doc_stats
+        row = spark.read.parquet(paths.seg(paths.doc_stats, 0)).agg(
+            F.count("*").alias("n"), F.sum("dl").alias("sdl")).first()
+        row_count, sum_dl = int(row["n"]), int(row["sdl"] or 0)
+    elif "sum_dl" in src_m:
+        row_count = int(src_m["row_count"].sum())
         sum_dl = int(src_m["sum_dl"].sum())
     else:
         # legacy source manifest without sum_dl: recompute from the copied
         # doc_stats — writing 0 would make _corpus_scalars see the column
         # present and derive avgdl=0 (degenerate BM25 scores)
+        row_count = int(src_m["row_count"].sum())
         sum_dl = int(
             read_doc_stats(spark, src_dir).agg(F.sum("dl")).first()[0] or 0
         )
     manifest_row = pd.DataFrame([{
         "segment": 0,
         "input_fingerprint": format(fp & (2**64 - 1), "016x"),
-        "row_count": int(src_m["row_count"].sum()),
+        "row_count": row_count,
         "sum_dl": sum_dl,
         "block_count": int(wm["blocks"] or 0),
         "bytes": int(wm["bytes"] or 0),
@@ -856,6 +896,22 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
             os.makedirs(tmp, exist_ok=True)
             pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
             os.replace(tmp, dst.seg(dst.manifest, new))
+    # tombstones carry over: doc spaces are disjoint, so each source's
+    # deletes stay valid in the merged index (re-homed under fresh
+    # sequential del=<n> generations, same atomic rename as above)
+    next_del = 0
+    for src_dir in src_dirs:
+        sbase = os.path.join(src_dir, TOMBSTONES_DIRNAME)
+        for g in _tombstone_gens(src_dir):
+            dbase = os.path.join(dst_dir, TOMBSTONES_DIRNAME)
+            os.makedirs(dbase, exist_ok=True)
+            dst_gen = os.path.join(dbase, f"del={next_del}")
+            tmp = dst_gen + ".__tmp__"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            shutil.copytree(os.path.join(sbase, g), tmp)
+            os.replace(tmp, dst_gen)
+            next_del += 1
     _write_index_config(dst_dir, {**cfgs[0], "n_segments": next_seg,
                                   "merged_from": list(src_dirs)})
     invalidate_index_cache(dst_dir)
@@ -1030,6 +1086,121 @@ def invalidate_index_cache(index_dir: str) -> None:
         _PLAN_CACHE.pop(k, None)
 
 
+# ------------------------------------------------------------ deletions --
+#
+# Tombstone deletes (Lucene live-docs semantics, segment files immutable):
+# ``delete_docs`` records doc_ids under ``<index>/tombstones/del=<n>/``
+# without touching postings. Every query path MASKS tombstoned docs out of
+# results while corpus statistics (n_docs / avgdl / df) keep counting them
+# — exactly Lucene's behavior between a delete and the merge that purges
+# it — and ``compact_index`` physically drops them and recomputes the
+# statistics. Driver state is the deduped doc_id array: bounded by
+# deletes-since-last-compaction (the same bound Lucene accepts for its
+# per-segment live-docs bitsets); at 10^12-file scale the compaction
+# cadence bounds it, and the array ships to scan tasks once per query.
+
+TOMBSTONES_DIRNAME = "tombstones"
+
+
+def sorted_isin(sorted_ref: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a SORTED int array."""
+    if sorted_ref is None or sorted_ref.size == 0 or values.size == 0:
+        return np.zeros(values.size, dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_ref, values),
+                  0, sorted_ref.size - 1)
+    return sorted_ref[pos] == values
+
+
+def _tombstone_gens(index_dir: str) -> tuple:
+    d = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    if not os.path.isdir(d):
+        return ()
+    return tuple(sorted(x for x in os.listdir(d) if x.startswith("del=")))
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """Mask documents out of every subsequent query WITHOUT rewriting any
+    segment file. ``doc_ids`` is an iterable of ints or a one-column
+    DataFrame. Each call commits one ``del=<n>`` generation atomically
+    (write-then-rename, same discipline as segment commits); readers see
+    all generations unioned. Returns the number of ids recorded.
+
+    Statistics are intentionally NOT updated here — deleted docs still
+    count in df/avgdl until ``compact_index`` purges them (documented
+    Lucene-parity semantics; the ``topk_bm25_deleted`` vs
+    ``topk_bm25_purged`` oracle pair pins both sides)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if isinstance(doc_ids, DataFrame):
+        col = doc_ids.columns[0]
+        doc_ids = [r[0] for r in doc_ids.select(col).distinct().collect()]
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if ids.size == 0:
+        return 0
+    base = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    os.makedirs(base, exist_ok=True)
+    gens = _tombstone_gens(index_dir)
+    n = max((int(g.split("=")[1]) for g in gens), default=-1) + 1
+    for _ in range(64):  # concurrent deleters race on n: first rename wins
+        dst = os.path.join(base, f"del={n}")
+        tmp = dst + f".__tmp__{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                       os.path.join(tmp, "part-0.parquet"))
+        try:
+            os.replace(tmp, dst)
+            return int(ids.size)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            n += 1
+    raise RuntimeError(f"delete_docs: could not commit a generation under {base}")
+
+
+_TOMBSTONE_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def tombstone_ids(index_dir: str) -> np.ndarray | None:
+    """Sorted unique tombstoned doc_ids, or None if there are none.
+
+    Pure driver-side metadata read (pyarrow, no Spark job — the same
+    footing as the manifest listing); cached per generation set, so new
+    ``delete_docs`` calls invalidate naturally via the directory listing."""
+    gens = _tombstone_gens(index_dir)
+    if not gens:
+        return None
+    key = (os.path.abspath(index_dir), gens)
+    arr = _TOMBSTONE_CACHE.get(key)
+    if arr is None:
+        import pyarrow.parquet as pq
+
+        base = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+        parts = []
+        for g in gens:
+            gd = os.path.join(base, g)
+            for f in sorted(os.listdir(gd)):
+                if f.endswith(".parquet"):
+                    parts.append(
+                        pq.read_table(os.path.join(gd, f),
+                                      columns=["doc_id"])["doc_id"]
+                        .to_numpy(zero_copy_only=False)
+                    )
+        arr = (np.unique(np.concatenate(parts)).astype(np.int64)
+               if parts else np.empty(0, dtype=np.int64))
+        _TOMBSTONE_CACHE[key] = arr
+    return arr if arr.size else None
+
+
+def read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """Tombstones as a (doc_id) DataFrame for anti-joins, or None."""
+    gens = _tombstone_gens(index_dir)
+    if not gens:
+        return None
+    base = os.path.join(index_dir, TOMBSTONES_DIRNAME)
+    return spark.read.parquet(
+        *[os.path.join(base, g) for g in gens]).select("doc_id").distinct()
+
+
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     return _cached_read(spark, IndexPaths(index_dir).postings, "postings")
 
@@ -1090,9 +1261,10 @@ def write_debug_index(spark: SparkSession, index_dir: str,
     """S8 — the uncompressed index writer (``InvertedIndex.java:49-87``'s
     debug sink): decode every block back to plain (term, doc_id, tf, dl)
     rows and write them as ordinary parquet for index forensics (diffable,
-    queryable with any tool, no codec required)."""
+    queryable with any tool, no codec required). Forensics = the raw
+    physical bytes, so tombstoned docs are INCLUDED (live_only=False)."""
     (
-        postings_flat(spark, index_dir)
+        postings_flat(spark, index_dir, live_only=False)
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(out_dir)
     )
@@ -1101,7 +1273,8 @@ def write_debug_index(spark: SparkSession, index_dir: str,
 def postings_flat(spark: SparkSession, index_dir: str,
                   docs_only: bool = False,
                   terms: list[str] | None = None,
-                  buckets: int | None = None) -> DataFrame:
+                  buckets: int | None = None,
+                  live_only: bool = True) -> DataFrame:
     """Decode blocks back to (term, doc_id[, tf, dl]) rows — index-backed
     boolean queries and invariant tests build on this.
 
@@ -1112,8 +1285,12 @@ def postings_flat(spark: SparkSession, index_dir: str,
     the bucket + term predicates reach the parquet scan, so only the
     query terms' blocks are ever decompressed (a filter above the Python
     UDF cannot be pushed through it — it must be applied to the blocks).
+    ``live_only=True`` (default) masks tombstoned docs — every user-facing
+    read honors deletes; pass False for index forensics on the raw bytes
+    (``write_debug_index``).
     """
     blocks = read_postings(spark, index_dir)
+    dead = tombstone_ids(index_dir) if live_only else None
     if terms is not None:
         q = sorted(set(str(t) for t in terms))
         if buckets is None:
@@ -1125,13 +1302,12 @@ def postings_flat(spark: SparkSession, index_dir: str,
 
     def explode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = [
-                pd.DataFrame({
-                    "term": r.term,
-                    "doc_id": codec.decode_sorted(r.doc_gaps),
-                })
-                for r in pdf.itertuples(index=False)
-            ]
+            frames = []
+            for r in pdf.itertuples(index=False):
+                docs = codec.decode_sorted(r.doc_gaps)
+                if dead is not None:
+                    docs = docs[~sorted_isin(dead, docs)]
+                frames.append(pd.DataFrame({"term": r.term, "doc_id": docs}))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
@@ -1140,11 +1316,16 @@ def postings_flat(spark: SparkSession, index_dir: str,
             frames = []
             for r in pdf.itertuples(index=False):
                 docs = codec.decode_sorted(r.doc_gaps)
+                tfs = codec.decode_u32s(r.tfs)
+                dls = codec.decode_u32s(r.dls)
+                if dead is not None:
+                    live = ~sorted_isin(dead, docs)
+                    docs, tfs, dls = docs[live], tfs[live], dls[live]
                 frames.append(pd.DataFrame({
                     "term": r.term,
                     "doc_id": docs,
-                    "tf": codec.decode_u32s(r.tfs),
-                    "dl": codec.decode_u32s(r.dls),
+                    "tf": tfs,
+                    "dl": dls,
                 }))
             if frames:
                 yield pd.concat(frames, ignore_index=True)

@@ -183,7 +183,16 @@ def phrase_count_index(spark: SparkSession, index_dir: str,
         .where(F.col("term").isin(q))
         .select("segment", "term", "doc_gaps", "tfs", "poss")
     )
+    from .index import sorted_isin, tombstone_ids
+
+    dead = tombstone_ids(index_dir)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = _segment_phrase(pdf.drop(columns=["segment"]), phrase)
+        if dead is not None and len(r):
+            r = r[~sorted_isin(dead, r["doc_id"].to_numpy())]  # tombstones
+        return r
+
     return blocks.groupBy("segment").applyInPandas(
-        lambda pdf: _segment_phrase(pdf.drop(columns=["segment"]), phrase),
-        schema="doc_id bigint, n_occ bigint",
+        run, schema="doc_id bigint, n_occ bigint",
     )

@@ -42,7 +42,14 @@ from pyspark.sql import functions as F
 from ..config import BM25_B, BM25_K1, DEFAULT_K
 from ..functions import codec
 from ..functions.bm25 import idf_py, tf_sat_np
-from .index import bucket_of, read_doc_stats, read_index_config, read_postings
+from .index import (
+    bucket_of,
+    read_doc_stats,
+    read_index_config,
+    read_postings,
+    read_terms,
+    tombstone_ids,
+)
 
 
 @dataclass(frozen=True)
@@ -209,16 +216,28 @@ _EMPTY_TOPK = {"doc_id": pd.Series(dtype="int64"),
 
 def _scan_topk(term_arrays: dict, q: list[str], idf: dict, k: int,
                meta: IndexMeta, k1: float, b: float,
-               allowed: np.ndarray | None = None) -> pd.DataFrame:
+               allowed: np.ndarray | None = None,
+               blocked: np.ndarray | None = None) -> pd.DataFrame:
     """UB-ordered chunked top-k scan over prebuilt term arrays (the
     block-max WAND kernel, factored out so the batch path can reuse one
-    set of decoded postings across queries)."""
+    set of decoded postings across queries).
+
+    ``blocked`` (sorted doc_ids) = tombstoned docs: dropped from the
+    candidate set BEFORE the UB ordering (mask semantics — scores keep
+    index-wide statistics until compaction purges the postings)."""
     use = {t: term_arrays[t] for t in q if t in term_arrays}
     if not use:
         return pd.DataFrame(_EMPTY_TOPK)
     cand = np.concatenate([tp.docs for tp in use.values()])
     ubs = np.concatenate([tp.member_ub for tp in use.values()])
     term_arrays = use
+    if blocked is not None and blocked.size and cand.size:
+        pos_b = np.clip(np.searchsorted(blocked, cand),
+                        0, blocked.size - 1)
+        live = blocked[pos_b] != cand
+        cand, ubs = cand[live], ubs[live]
+        if cand.size == 0:
+            return pd.DataFrame(_EMPTY_TOPK)
     if allowed is not None:
         pos = np.searchsorted(allowed, cand)
         pos_c = np.clip(pos, 0, max(allowed.size - 1, 0))
@@ -272,7 +291,8 @@ def _scan_topk(term_arrays: dict, q: list[str], idf: dict, k: int,
 
 def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
                   k1: float, b: float,
-                  allowed: np.ndarray | None = None) -> pd.DataFrame:
+                  allowed: np.ndarray | None = None,
+                  blocked: np.ndarray | None = None) -> pd.DataFrame:
     """Exact top-k for one segment: UB-ordered chunked scan, early stop,
     per-block lazy payload decode.
 
@@ -283,13 +303,15 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
     and block-skipping fully effective under the predicate."""
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
     term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
-    return _scan_topk(term_arrays, q, idf, k, meta, k1, b, allowed=allowed)
+    return _scan_topk(term_arrays, q, idf, k, meta, k1, b,
+                      allowed=allowed, blocked=blocked)
 
 
 def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
                        k: int, meta: IndexMeta,
                        k1: float, b: float,
-                       allowed: np.ndarray | None = None) -> pd.DataFrame:
+                       allowed: np.ndarray | None = None,
+                       blocked: np.ndarray | None = None) -> pd.DataFrame:
     """Batch variant: ONE postings decode per term, then the same
     block-max WAND scan per query over the shared arrays. Output carries
     ``query_id``; each query's rows are exactly what ``_segment_topk``
@@ -302,7 +324,8 @@ def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
     term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
     outs = []
     for qid, q in queries:
-        r = _scan_topk(term_arrays, q, idf, k, meta, k1, b, allowed=allowed)
+        r = _scan_topk(term_arrays, q, idf, k, meta, k1, b,
+                       allowed=allowed, blocked=blocked)
         r.insert(0, "query_id", qid)
         outs.append(r)
     if not outs:
@@ -334,9 +357,11 @@ def topk_bm25_index(
         "doc_gaps", "tfs", "dls",
     )
 
+    dead = tombstone_ids(index_dir)
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk(
-            pdf.drop(columns=["segment"]), q, k, meta, k1, b
+            pdf.drop(columns=["segment"]), q, k, meta, k1, b, blocked=dead
         )
 
     per_seg = blocks.groupBy("segment").applyInPandas(
@@ -394,6 +419,7 @@ def topk_bm25_index_many(
     )
 
     out_schema = "query_id string, doc_id bigint, score double"
+    dead = tombstone_ids(index_dir)
     if predicate is not None:
         # F2-in-the-loop for the whole set: the allowed-doc set cogroups
         # per segment into the same shared-decode scorer; scores keep
@@ -411,7 +437,7 @@ def topk_bm25_index_many(
             ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
             return _segment_topk_many(
                 blk.drop(columns=["segment"]), qmap, k, meta, k1, b,
-                allowed=ids,
+                allowed=ids, blocked=dead,
             )
 
         per_seg = blocks.groupBy("segment").cogroup(
@@ -420,7 +446,8 @@ def topk_bm25_index_many(
     else:
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return _segment_topk_many(
-                pdf.drop(columns=["segment"]), qmap, k, meta, k1, b
+                pdf.drop(columns=["segment"]), qmap, k, meta, k1, b,
+                blocked=dead,
             )
 
         per_seg = blocks.groupBy("segment").applyInPandas(
@@ -479,10 +506,13 @@ def topk_bm25_index_filtered(
         "doc_gaps", "tfs", "dls",
     )
 
+    dead = tombstone_ids(index_dir)
+
     def run(blk: pd.DataFrame, alw: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
         return _segment_topk(
-            blk.drop(columns=["segment"]), q, k, meta, k1, b, allowed=ids
+            blk.drop(columns=["segment"]), q, k, meta, k1, b,
+            allowed=ids, blocked=dead,
         )
 
     per_seg = blocks.groupBy("segment").cogroup(
@@ -491,4 +521,64 @@ def topk_bm25_index_filtered(
     return (
         per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def expand_prefix(spark: SparkSession, index_dir: str, prefix: str,
+                  max_terms: int = 64) -> dict[str, float]:
+    """Dictionary expansion for prefix queries: every indexed term
+    starting with ``prefix``, with its global df, capped to the
+    ``max_terms`` highest-df terms (ties broken term ASC — deterministic,
+    the cap policy of Lucene's ``MultiTermQuery`` boolean rewrite).
+
+    The terms table is hash-bucketed (crc32), so a prefix cannot be
+    pruned to one bucket; this is a full-dictionary scan with the
+    StartsWith predicate pushed into the parquet scan. Terms are sorted
+    within each (bucket, segment) file, so parquet row-group min/max
+    statistics on ``term`` skip most of the dictionary; at 10^12-file
+    scale a globally term-sorted secondary dictionary would make this a
+    range scan — the same scan-shape tradeoff Lucene resolves with its
+    sorted term dictionary (FST).
+    """
+    rows = (
+        read_terms(spark, index_dir)
+        .where(F.col("term").startswith(str(prefix)))
+        .groupBy("term").agg(F.sum("df").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(int(max_terms))
+        .collect()
+    )
+    return {r["term"]: float(r["df"]) for r in rows}
+
+
+def topk_bm25_index_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = DEFAULT_K,
+    max_terms: int = 64,
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Prefix top-k BM25 (Lucene ``PrefixQuery`` with the scoring boolean
+    rewrite): expand ``prefix`` against the term dictionary, then run the
+    standard multi-term block-max WAND scan over the expansion — each
+    matched term scores with its own idf, per-doc scores sum. The
+    expansion's df values double as the term meta, so no second
+    dictionary lookup happens."""
+    if meta is None:
+        dfs = expand_prefix(spark, index_dir, prefix, max_terms)
+        if not dfs:
+            return spark.createDataFrame([], "doc_id bigint, score double")
+        n_docs, avgdl = (scalars if scalars is not None
+                         else _corpus_scalars(spark, index_dir))
+        meta = IndexMeta(n_docs, avgdl, dfs)
+    elif not meta.term_df:
+        return spark.createDataFrame([], "doc_id bigint, score double")
+    return topk_bm25_index(
+        spark, index_dir, sorted(meta.term_df), k,
+        meta=meta, buckets=buckets, k1=k1, b=b,
     )

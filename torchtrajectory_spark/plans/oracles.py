@@ -572,3 +572,84 @@ SELECT user_id, event_id, seq,
             AS BIGINT) AS lng_u6
 FROM e
 """.strip()
+
+
+def _bm25_topk_core(term_pred: str, k: int, k1: float, b: float,
+                    doc_where: str = "", result_where: str = "") -> str:
+    """Shared BM25 top-k skeleton with three seams: ``term_pred`` selects
+    the scoring terms (IN list / starts_with), ``doc_where`` restricts
+    the corpus BEFORE statistics (purged-delete semantics), and
+    ``result_where`` restricts only the RANKING (masked-delete semantics
+    — statistics still count the excluded docs, Lucene-parity)."""
+    tok_src = "documents" + (f" WHERE {doc_where}" if doc_where else "")
+    rw = f"WHERE {result_where}\n" if result_where else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM {tok_src}
+  ) t
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE {term_pred} GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+{rw}ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def bm25_topk_prefix_sql(prefix: str, k: int,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Prefix query oracle: every corpus term starting with ``prefix``
+    scores as its own query term (idf per matched term, per-doc sum) —
+    the boolean rewrite of Lucene's PrefixQuery. Valid as long as the
+    engine-side expansion cap is not hit (fixture expansions are small;
+    the cap path is pinned by a Spark-only test)."""
+    p = prefix.replace("'", "''")
+    return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
+
+
+def bm25_topk_deleted_sql(terms: list[str], k: int, del_pred_sql: str,
+                          k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Masked-delete oracle: docs matching ``del_pred_sql`` are excluded
+    from the RANKING but still count in n_docs/avgdl/df — the tombstone
+    semantics between ``delete_docs`` and compaction."""
+    tl = _terms_list(sorted(set(terms)))
+    return _bm25_topk_core(f"term IN ({tl})", k, k1, b,
+                           result_where=f"NOT ({del_pred_sql})")
+
+
+def bm25_topk_purged_sql(terms: list[str], k: int, del_pred_sql: str,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Purged-delete oracle: docs matching ``del_pred_sql`` are gone from
+    the corpus entirely — statistics recompute over the survivors. This
+    is the post-``compact_index`` semantics of a tombstoned index."""
+    tl = _terms_list(sorted(set(terms)))
+    return _bm25_topk_core(f"term IN ({tl})", k, k1, b,
+                           doc_where=f"NOT ({del_pred_sql})")

@@ -129,6 +129,93 @@ def q_topk_bm25_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
 
 
+# Deterministic delete set for the tombstone queries: every doc with
+# doc_id % DEL_MOD == DEL_REM (sf-independent, ~10% of the corpus, dense
+# enough that the undeleted top-k visibly changes at every sf).
+DEL_MOD, DEL_REM = 10, 3
+DEL_PRED_SQL = f"doc_id % {DEL_MOD} = {DEL_REM}"
+
+
+def ensure_deleted_index(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of the fixture index with the DEL_PRED docs tombstoned —
+    masked-delete semantics (stats still count them; ranking excludes)."""
+    from ..config import INDEX_FORMAT_VERSION
+    from ..operators.index import (
+        delete_docs,
+        read_doc_stats,
+        read_index_config,
+    )
+
+    src = ensure_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"tts_delindex_{tag}")
+    marker = os.path.join(dst, "tombstones")
+    if os.path.isdir(marker):
+        try:
+            cfg = read_index_config(dst)
+        except Exception:
+            cfg = {}
+        if cfg.get("format_version") == INDEX_FORMAT_VERSION:
+            return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst)
+    delete_docs(
+        spark, dst,
+        read_doc_stats(spark, dst)
+        .where(F.col("doc_id") % DEL_MOD == DEL_REM)
+        .select("doc_id"),
+    )
+    return dst
+
+
+def ensure_purged_index(spark: SparkSession, sf_dir: str) -> str:
+    """The deleted fixture index COMPACTED — tombstones physically purged,
+    statistics recomputed over the surviving docs."""
+    from ..config import INDEX_FORMAT_VERSION
+    from ..operators.index import compact_index, read_index_config
+
+    src = ensure_deleted_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dst = os.path.join(tempfile.gettempdir(), f"tts_purged_{tag}")
+    marker = os.path.join(dst, "manifest", "segment=0")
+    if os.path.isdir(marker):
+        try:
+            cfg = read_index_config(dst)
+        except Exception:
+            cfg = {}
+        if cfg.get("format_version") == INDEX_FORMAT_VERSION:
+            return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    compact_index(spark, src, dst)
+    return dst
+
+
+PREFIX_Q = "s"  # expands over the fixture vocabulary: scan slow small
+#                 sort spark stream — six terms, far under the cap
+
+
+def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix top-k (Lucene PrefixQuery, scoring boolean rewrite): the
+    dictionary expansion of PREFIX_Q scored as a multi-term query."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_prefix(PREFIX_Q, K))
+
+
+def q_topk_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-masked top-k: DEL_PRED docs excluded from ranking while
+    n_docs/avgdl/df still count them (pre-compaction Lucene semantics)."""
+    idx = ensure_deleted_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
+
+
+def q_topk_bm25_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-purge top-k: compaction dropped the tombstoned postings and
+    recomputed statistics — scores equal a fresh build on the filtered
+    corpus (the oracle builds exactly that)."""
+    idx = ensure_purged_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
+
+
 # One opened Engine per (session, index): the registry's indexed queries
 # ride the same serving facade a user would, so per-(index, term-set)
 # statistics are memoized across queries (e.g. Q_TOPK is shared by
@@ -723,6 +810,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_points": q_knn_points,
     "topk_bm25_batch": q_topk_bm25_batch,
     "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,  # NEW in r4
+    "topk_bm25_prefix": q_topk_bm25_prefix,      # NEW in r4 (PrefixQuery)
+    "topk_bm25_deleted": q_topk_bm25_deleted,    # NEW in r4 (tombstones)
+    "topk_bm25_purged": q_topk_bm25_purged,      # NEW in r4 (purge)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -797,6 +887,13 @@ ORACLES: dict[str, str] = {
         Q_TOPK, K, FILTER_PRED_SQL
     ),
     "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
+    "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
+    "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
+        Q_TOPK, K, DEL_PRED_SQL
+    ),
+    "topk_bm25_purged": oracles.bm25_topk_purged_sql(
+        Q_TOPK, K, DEL_PRED_SQL
+    ),
     # sim_*_topk: unrolled-DP oracles over the fixed SEQ_PREFIX prefix
     # (oracles_sim generates one CTE per DP row; bit-identical sequencing)
     **{f"sim_{m}_topk": oracles_sim.SIM_SQL[m](SIM_QUERY, K)
