@@ -131,21 +131,66 @@ class Engine:
         so warm repeats skip the dictionary scan."""
         from .operators.wand import expand_prefix, topk_bm25_index_prefix
 
-        key = ("prefix", str(prefix), int(max_terms))
+        meta = self._expansion_meta(
+            ("prefix", str(prefix), int(max_terms)),
+            lambda: expand_prefix(self.spark, self.index_dir, prefix,
+                                  max_terms),
+        )
+        return topk_bm25_index_prefix(
+            self.spark, self.index_dir, prefix, k, max_terms=max_terms,
+            buckets=self._buckets, k1=self.k1, b=self.b, meta=meta,
+        )
+
+    def find_topk_wildcard(self, pattern: str, k: int = DEFAULT_K,
+                           max_terms: int = 64) -> DataFrame:
+        """Wildcard top-k BM25 (Lucene ``WildcardQuery``, scoring boolean
+        rewrite): ``*`` matches any run, ``?`` one character; the
+        dictionary expansion (df-descending cap at ``max_terms``) scores
+        as a multi-term query and is memoized per (pattern, cap)."""
+        from .operators.wand import expand_wildcard, topk_bm25_index_wildcard
+
+        meta = self._expansion_meta(
+            ("wildcard", str(pattern), int(max_terms)),
+            lambda: expand_wildcard(self.spark, self.index_dir, pattern,
+                                    max_terms),
+        )
+        return topk_bm25_index_wildcard(
+            self.spark, self.index_dir, pattern, k, max_terms=max_terms,
+            buckets=self._buckets, k1=self.k1, b=self.b, meta=meta,
+        )
+
+    def find_topk_fuzzy(self, term: str, k: int = DEFAULT_K,
+                        max_edits: int = 2,
+                        max_terms: int = 64) -> DataFrame:
+        """Fuzzy top-k BM25 (Lucene ``FuzzyQuery``, scoring boolean
+        rewrite): every indexed term within ``max_edits`` Levenshtein
+        edits of ``term`` scores with its own idf. Expansion memoized per
+        (term, edits, cap)."""
+        from .operators.wand import expand_fuzzy, topk_bm25_index_fuzzy
+
+        meta = self._expansion_meta(
+            ("fuzzy", str(term), int(max_edits), int(max_terms)),
+            lambda: expand_fuzzy(self.spark, self.index_dir, term,
+                                 max_edits, max_terms),
+        )
+        return topk_bm25_index_fuzzy(
+            self.spark, self.index_dir, term, k, max_edits=max_edits,
+            max_terms=max_terms, buckets=self._buckets, k1=self.k1,
+            b=self.b, meta=meta,
+        )
+
+    def _expansion_meta(self, key: tuple, expand) -> IndexMeta:
+        """Memoized MultiTermQuery expansion: one dictionary scan per
+        (kind, pattern, cap) per Engine; warm repeats skip it."""
         meta = self._meta_cache.get(key)
         if meta is None:
             if self._scalars is None:
                 from .operators.wand import _corpus_scalars
 
                 self._scalars = _corpus_scalars(self.spark, self.index_dir)
-            dfs = expand_prefix(self.spark, self.index_dir, prefix,
-                                max_terms)
-            meta = IndexMeta(self._scalars[0], self._scalars[1], dfs)
+            meta = IndexMeta(self._scalars[0], self._scalars[1], expand())
             self._meta_cache[key] = meta
-        return topk_bm25_index_prefix(
-            self.spark, self.index_dir, prefix, k, max_terms=max_terms,
-            buckets=self._buckets, k1=self.k1, b=self.b, meta=meta,
-        )
+        return meta
 
     def delete(self, doc_ids) -> int:
         """Tombstone documents (Lucene live-docs semantics): every

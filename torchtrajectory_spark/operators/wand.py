@@ -32,6 +32,7 @@ than the query terms' postings for one segment.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -540,15 +541,81 @@ def expand_prefix(spark: SparkSession, index_dir: str, prefix: str,
     range scan — the same scan-shape tradeoff Lucene resolves with its
     sorted term dictionary (FST).
     """
+    return _expand_terms(spark, index_dir,
+                         F.col("term").startswith(str(prefix)), max_terms)
+
+
+def _expand_terms(spark: SparkSession, index_dir: str, pred,
+                  max_terms: int) -> dict[str, float]:
+    """Shared dictionary-expansion core (MultiTermQuery rewrite): every
+    indexed term matching ``pred``, with its global df, capped to the
+    ``max_terms`` highest-df terms (ties term ASC — deterministic)."""
     rows = (
         read_terms(spark, index_dir)
-        .where(F.col("term").startswith(str(prefix)))
+        .where(pred)
         .groupBy("term").agg(F.sum("df").alias("df"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
         .limit(int(max_terms))
         .collect()
     )
     return {r["term"]: float(r["df"]) for r in rows}
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Translate a Lucene-style wildcard pattern (``*`` = any run,
+    ``?`` = one char, everything else literal) to an anchored regex that
+    parses identically under Java (Spark ``rlike``) and RE2/PCRE (DuckDB
+    ``regexp_matches``): metacharacters are backslash-escaped one by one,
+    never wrapped in engine-specific quoting (``\\Q``/``\\E``)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch.isalnum() or ch == "_":
+            out.append(ch)
+        else:
+            out.append("\\" + ch)
+    return "^" + "".join(out) + "$"
+
+
+def expand_wildcard(spark: SparkSession, index_dir: str, pattern: str,
+                    max_terms: int = 64) -> dict[str, float]:
+    """Dictionary expansion for wildcard queries (Lucene
+    ``WildcardQuery``). The regex itself cannot be pushed to parquet, but
+    any literal prefix before the first wildcard becomes a StartsWith
+    pre-filter: terms are sorted within each (bucket, segment) file, so
+    row-group min/max statistics skip most of the dictionary exactly as
+    in :func:`expand_prefix` (Lucene's leading-wildcard slow-path caveat
+    carries over — ``*x`` patterns scan the whole dictionary)."""
+    pred = F.col("term").rlike(wildcard_regex(str(pattern)))
+    lit = re.split(r"[*?]", str(pattern), maxsplit=1)[0]
+    if lit:
+        pred = F.col("term").startswith(lit) & pred
+    return _expand_terms(spark, index_dir, pred, max_terms)
+
+
+def expand_fuzzy(spark: SparkSession, index_dir: str, term: str,
+                 max_edits: int = 2, max_terms: int = 64
+                 ) -> dict[str, float]:
+    """Dictionary expansion for fuzzy queries (Lucene ``FuzzyQuery``):
+    every indexed term within ``max_edits`` Levenshtein edits of
+    ``term``. A cheap JVM-side length-window pre-filter
+    (|len(t) - len(q)| <= max_edits, a lower bound on edit distance)
+    guards the O(len^2) distance evaluation; the distance itself runs in
+    whole-stage codegen (``levenshtein`` expression), no Python. At
+    10^12-file scale the dictionary is ~vocabulary-sized (sublinear in
+    corpus), so the full scan stays small; Lucene's Levenshtein-automaton
+    FST walk is the single-node analog of the same cap."""
+    q = str(term)
+    d = int(max_edits)
+    pred = (
+        (F.length("term") >= F.lit(len(q) - d))
+        & (F.length("term") <= F.lit(len(q) + d))
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+    )
+    return _expand_terms(spark, index_dir, pred, max_terms)
 
 
 def topk_bm25_index_prefix(
@@ -569,8 +636,68 @@ def topk_bm25_index_prefix(
     matched term scores with its own idf, per-doc scores sum. The
     expansion's df values double as the term meta, so no second
     dictionary lookup happens."""
+    return _topk_expansion(
+        spark, index_dir,
+        lambda: expand_prefix(spark, index_dir, prefix, max_terms),
+        k, buckets=buckets, k1=k1, b=b, scalars=scalars, meta=meta,
+    )
+
+
+def topk_bm25_index_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = DEFAULT_K,
+    max_terms: int = 64,
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Wildcard top-k BM25 (Lucene ``WildcardQuery``, scoring boolean
+    rewrite): :func:`expand_wildcard` the pattern, then the standard
+    multi-term block-max WAND scan over the expansion."""
+    return _topk_expansion(
+        spark, index_dir,
+        lambda: expand_wildcard(spark, index_dir, pattern, max_terms),
+        k, buckets=buckets, k1=k1, b=b, scalars=scalars, meta=meta,
+    )
+
+
+def topk_bm25_index_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    term: str,
+    k: int = DEFAULT_K,
+    max_edits: int = 2,
+    max_terms: int = 64,
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Fuzzy top-k BM25 (Lucene ``FuzzyQuery``, scoring boolean rewrite):
+    :func:`expand_fuzzy` the term within ``max_edits`` Levenshtein edits,
+    then the standard multi-term block-max WAND scan. Every expanded term
+    scores with its own idf (the plain boolean rewrite; no edit-distance
+    boost — documented divergence from Lucene's similarity ramp, chosen
+    so the oracle semantics stay exact)."""
+    return _topk_expansion(
+        spark, index_dir,
+        lambda: expand_fuzzy(spark, index_dir, term, max_edits, max_terms),
+        k, buckets=buckets, k1=k1, b=b, scalars=scalars, meta=meta,
+    )
+
+
+def _topk_expansion(spark, index_dir, dfs_factory, k, *, buckets, k1, b,
+                    scalars, meta) -> DataFrame:
+    """Shared MultiTermQuery scorer: resolve the expansion (or accept a
+    memoized ``meta``), then run the multi-term WAND scan; an empty
+    expansion short-circuits to an empty result with the stable schema."""
     if meta is None:
-        dfs = expand_prefix(spark, index_dir, prefix, max_terms)
+        dfs = dfs_factory()
         if not dfs:
             return spark.createDataFrame([], "doc_id bigint, score double")
         n_docs, avgdl = (scalars if scalars is not None

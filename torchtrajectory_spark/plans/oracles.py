@@ -635,6 +635,30 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def bm25_topk_wildcard_sql(pattern: str, k: int,
+                           k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Wildcard query oracle: the pattern's anchored-regex translation
+    (same string the engine hands to Spark ``rlike`` — metachars escaped
+    individually so Java and RE2 parse it identically) selects the
+    scoring terms; the boolean rewrite of Lucene's WildcardQuery."""
+    from ..operators.wand import wildcard_regex
+
+    rx = wildcard_regex(pattern).replace("'", "''")
+    return _bm25_topk_core(f"regexp_matches(term, '{rx}')", k, k1, b)
+
+
+def bm25_topk_fuzzy_sql(term: str, max_edits: int, k: int,
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Fuzzy query oracle: every corpus term within ``max_edits``
+    Levenshtein edits scores as its own query term (DuckDB and Spark
+    both implement plain unweighted edit distance — cross-checked by the
+    engine-vs-oracle hash gate)."""
+    t = str(term).replace("'", "''")
+    return _bm25_topk_core(
+        f"levenshtein(term, '{t}') <= {int(max_edits)}", k, k1, b
+    )
+
+
 def bm25_topk_deleted_sql(terms: list[str], k: int, del_pred_sql: str,
                           k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Masked-delete oracle: docs matching ``del_pred_sql`` are excluded

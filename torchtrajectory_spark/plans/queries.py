@@ -192,6 +192,9 @@ def ensure_purged_index(spark: SparkSession, sf_dir: str) -> str:
 
 PREFIX_Q = "s"  # expands over the fixture vocabulary: scan slow small
 #                 sort spark stream — six terms, far under the cap
+WILDCARD_Q = "s?a*"   # ? then a literal 'a': scan small spark — both
+#                       wildcard kinds exercised, 3-term expansion
+FUZZY_Q, FUZZY_EDITS = "spark", 2  # within 2 edits: spark, part
 
 
 def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +202,23 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary expansion of PREFIX_Q scored as a multi-term query."""
     idx = ensure_index(spark, sf_dir)
     return _score_u6(_engine(spark, idx).find_topk_prefix(PREFIX_Q, K))
+
+
+def q_topk_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard top-k (Lucene WildcardQuery): WILDCARD_Q's expansion
+    (regex-filtered dictionary scan with a literal-prefix pushdown)
+    scored as a multi-term query."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_wildcard(WILDCARD_Q, K))
+
+
+def q_topk_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy top-k (Lucene FuzzyQuery): terms within FUZZY_EDITS
+    Levenshtein edits of FUZZY_Q, each scoring with its own idf."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(
+        _engine(spark, idx).find_topk_fuzzy(FUZZY_Q, K, FUZZY_EDITS)
+    )
 
 
 def q_topk_bm25_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,6 +831,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_batch": q_topk_bm25_batch,
     "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,  # NEW in r4
     "topk_bm25_prefix": q_topk_bm25_prefix,      # NEW in r4 (PrefixQuery)
+    "topk_bm25_wildcard": q_topk_bm25_wildcard,  # NEW in r4 (WildcardQuery)
+    "topk_bm25_fuzzy": q_topk_bm25_fuzzy,        # NEW in r4 (FuzzyQuery)
     "topk_bm25_deleted": q_topk_bm25_deleted,    # NEW in r4 (tombstones)
     "topk_bm25_purged": q_topk_bm25_purged,      # NEW in r4 (purge)
     "dedup_near_keep": q_dedup_near_keep,
@@ -888,6 +910,8 @@ ORACLES: dict[str, str] = {
     ),
     "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
+    "topk_bm25_wildcard": oracles.bm25_topk_wildcard_sql(WILDCARD_Q, K),
+    "topk_bm25_fuzzy": oracles.bm25_topk_fuzzy_sql(FUZZY_Q, FUZZY_EDITS, K),
     "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
         Q_TOPK, K, DEL_PRED_SQL
     ),
