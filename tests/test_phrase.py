@@ -117,3 +117,113 @@ def test_phrase_arrow_matches_catalyst(spark):
         assert got == exp
         if expect_hits:
             assert len(got) > 0
+
+
+def brute_near(tokens: list[str], terms: list[str], slop: int) -> int:
+    """Reference tuple counter: enumerate all strictly increasing
+    position tuples with p_last - p_first <= (n-1) + slop."""
+    from itertools import product
+
+    pos = {t: [i for i, tk in enumerate(tokens) if tk == t] for t in terms}
+    n = len(terms)
+    lim = n - 1 + slop
+    count = 0
+    for tup in product(*(pos[t] for t in terms)):
+        if all(tup[j] < tup[j + 1] for j in range(n - 1)) \
+                and tup[-1] - tup[0] <= lim:
+            count += 1
+    return count
+
+
+@pytest.mark.parametrize("terms,slop", [
+    (["table", "hash"], 0),
+    (["table", "hash"], 3),
+    (["slow", "hash", "batch"], 2),
+    (["hash", "hash"], 1),
+])
+def test_near_both_paths_match_bruteforce(spark, pos_index, terms, slop):
+    from torchtrajectory_spark.operators.phrase import (
+        near_count,
+        near_count_index,
+    )
+    from torchtrajectory_spark.sources.tables import load_table
+
+    sf, idx = pos_index
+    docs = load_table(spark, sf, "documents")
+    direct = {
+        r["doc_id"]: r["n_occ"]
+        for r in near_count(docs, terms, slop).collect()
+    }
+    via_index = {
+        r["doc_id"]: r["n_occ"]
+        for r in near_count_index(spark, idx, terms, slop,
+                                  buckets=8).collect()
+    }
+    pdf = docs.select("doc_id", "text").toPandas()
+    expected = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        c = brute_near(toks, terms, slop)
+        if c > 0:
+            expected[doc_id] = c
+    assert direct == expected
+    assert via_index == expected
+
+
+def test_near_slop_zero_equals_exact_phrase(spark, pos_index):
+    """slop=0 forces consecutive positions — identical to phrase_count
+    (rows AND occurrence counts), both physical paths."""
+    from torchtrajectory_spark.operators.phrase import (
+        near_count_index,
+        phrase_count_index,
+    )
+
+    _, idx = pos_index
+    for terms, expect_hits in ((["table", "hash"], True),
+                               (["slow", "hash", "batch"], False)):
+        near = sorted(map(tuple,
+                          near_count_index(spark, idx, terms, 0,
+                                           buckets=8).collect()))
+        ph = sorted(map(tuple,
+                        phrase_count_index(spark, idx, terms,
+                                           buckets=8).collect()))
+        assert near == ph
+        if expect_hits:
+            assert len(near) > 0
+
+
+def test_near_monotone_in_slop(spark, pos_index):
+    """Widening the slop never loses a match and never lowers a count."""
+    from torchtrajectory_spark.operators.phrase import near_count_index
+
+    _, idx = pos_index
+    prev: dict = {}
+    for slop in (0, 2, 5):
+        cur = {r["doc_id"]: r["n_occ"]
+               for r in near_count_index(spark, idx, ["table", "hash"],
+                                         slop, buckets=8).collect()}
+        for d, c in prev.items():
+            assert cur.get(d, 0) >= c
+        prev = cur
+    assert prev
+
+
+def test_near_masks_tombstones(spark, pos_index, tmp_path_factory):
+    import shutil
+
+    from torchtrajectory_spark.operators.index import delete_docs
+    from torchtrajectory_spark.operators.phrase import near_count_index
+
+    _, idx = pos_index
+    base = {r["doc_id"]: r["n_occ"]
+            for r in near_count_index(spark, idx, ["table", "hash"], 3,
+                                      buckets=8).collect()}
+    victim = min(base)
+    d = str(tmp_path_factory.mktemp("neardel")) + "/idx"
+    shutil.copytree(idx, d)
+    delete_docs(spark, d, [int(victim)])
+    after = {r["doc_id"]: r["n_occ"]
+             for r in near_count_index(spark, d, ["table", "hash"], 3,
+                                       buckets=8).collect()}
+    assert victim not in after
+    assert after == {k: v for k, v in base.items() if k != victim}

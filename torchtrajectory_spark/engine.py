@@ -241,6 +241,15 @@ class Engine:
             self.spark, self.index_dir, phrase, buckets=self._buckets
         )
 
+    def find_near(self, terms: list[str], slop: int = 0) -> DataFrame:
+        """Ordered proximity query (SpanNear analog, positional index
+        required): terms in query order, whole window bounded by
+        (n-1) + slop; n_occ counts the qualifying position tuples.
+        slop=0 equals :meth:`find_phrase` (tested)."""
+        return phrase_ops.near_count_index(
+            self.spark, self.index_dir, terms, slop, buckets=self._buckets
+        )
+
     def find_in_range(self, predicate: Column) -> DataFrame:
         """Range/window query over the doc store metadata (findInRange /
         J4 analog): the geometric window of the reference becomes a

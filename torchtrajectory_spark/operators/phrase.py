@@ -116,6 +116,169 @@ def phrase_count_catalyst(df: DataFrame, phrase: list[str],
     )
 
 
+def count_near_tuples(pos_lists: list[np.ndarray], slop: int) -> int:
+    """Ordered proximity count: the number of strictly-increasing position
+    tuples (p_0 < p_1 < ... < p_{n-1}), one position per term in query
+    order, with the whole window bounded: p_{n-1} - p_0 <= (n-1) + slop.
+
+    slop=0 degenerates to consecutive positions (== exact phrase, pinned
+    in tests); the tuple-counting semantics is deliberately simpler than
+    Lucene's sloppy-freq edit-distance weighting (SloppyPhraseMatcher) so
+    the DuckDB oracle can state it exactly."""
+    n = len(pos_lists)
+    if n == 1:
+        return int(pos_lists[0].size)
+    lim_off = n - 1 + int(slop)
+
+    def rec(j: int, lo: int, lim: int) -> int:
+        arr = pos_lists[j]
+        left = int(np.searchsorted(arr, lo, side="right"))
+        right = int(np.searchsorted(arr, lim, side="right"))
+        if j == n - 1:
+            return right - left
+        return sum(rec(j + 1, int(q), lim) for q in arr[left:right])
+
+    return sum(rec(1, int(p0), int(p0) + lim_off)
+               for p0 in pos_lists[0])
+
+
+def near_count(df: DataFrame, terms: list[str], slop: int = 0,
+               id_col: str = "doc_id", text_col: str = "text",
+               analyzer: str = "ws") -> DataFrame:
+    """(doc_id, n_occ) for docs matching the ordered proximity query —
+    corpus-direct Arrow pass (one tokenize per doc, then
+    :func:`count_near_tuples` over the terms' position lists)."""
+    if not terms:
+        raise ValueError("empty proximity query")
+
+    from collections.abc import Iterator
+
+    from ..functions.tokenizer import tokenize_py
+
+    q = list(terms)
+
+    def count_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, occ = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokenize_py(text or "", analyzer)
+                pos = {t: [] for t in q}
+                for i, tk in enumerate(toks):
+                    if tk in pos:
+                        pos[tk].append(i)
+                if any(not pos[t] for t in q):
+                    continue
+                c = count_near_tuples(
+                    [np.asarray(pos[t], dtype=np.int64) for t in q], slop
+                )
+                if c:
+                    ids.append(did)
+                    occ.append(c)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_occ": pd.Series(occ, dtype="int64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        count_batches, schema="doc_id bigint, n_occ bigint"
+    )
+
+
+def _gather_term_positions(
+    pdf: pd.DataFrame, terms: list[str]
+) -> tuple[dict[str, np.ndarray], dict[str, list[np.ndarray]]] | None:
+    """One segment's positional blocks -> per-term (sorted doc array,
+    aligned per-doc position arrays); None if any query term is absent
+    from the segment (segments are doc-disjoint, so absence is final)."""
+    term_docs: dict[str, np.ndarray] = {}
+    term_pos: dict[str, list[np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=False):
+        docs_parts, pos_parts = [], []
+        for r in grp.itertuples(index=False):
+            docs = codec.decode_sorted(r.doc_gaps)
+            tfs = codec.decode_u32s(r.tfs)
+            flat, starts = decode_positions(r.poss, tfs)
+            docs_parts.append(docs)
+            splits = np.split(flat, starts[1:]) if docs.size else []
+            pos_parts.extend(splits)
+        if not docs_parts:
+            continue
+        docs = np.concatenate(docs_parts)
+        order = np.argsort(docs, kind="mergesort")
+        term_docs[term] = docs[order]
+        term_pos[term] = [pos_parts[i] for i in order.tolist()]
+    if any(t not in term_docs for t in dict.fromkeys(terms)):
+        return None
+    return term_docs, term_pos
+
+
+def _segment_near(pdf: pd.DataFrame, terms: list[str],
+                  slop: int) -> pd.DataFrame:
+    """One segment's positional blocks for the query terms ->
+    (doc, n_occ) under the ordered proximity semantics."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "n_occ": pd.Series(dtype="int64")})
+    gathered = _gather_term_positions(pdf, terms)
+    if gathered is None:
+        return empty
+    term_docs, term_pos = gathered
+    uniq = list(dict.fromkeys(terms))
+    cand = term_docs[uniq[0]]
+    for t in uniq[1:]:
+        cand = cand[np.isin(cand, term_docs[t])]
+    out_docs, out_n = [], []
+    for doc in cand.tolist():
+        pos_lists = []
+        for t in terms:
+            idx = int(np.searchsorted(term_docs[t], doc))
+            pos_lists.append(term_pos[t][idx])
+        c = count_near_tuples(pos_lists, slop)
+        if c:
+            out_docs.append(doc)
+            out_n.append(c)
+    return pd.DataFrame({"doc_id": np.asarray(out_docs, dtype=np.int64),
+                         "n_occ": np.asarray(out_n, dtype=np.int64)})
+
+
+def near_count_index(spark: SparkSession, index_dir: str,
+                     terms: list[str], slop: int = 0,
+                     buckets: int | None = None) -> DataFrame:
+    """Index-backed ordered proximity query over a positional index —
+    same bucket+term-pruned scan shape as :func:`phrase_count_index`
+    (only the queried terms' buckets are read; per-segment Arrow kernel;
+    doc-disjoint segments union without dedup)."""
+    if not terms:
+        raise ValueError("empty proximity query")
+    cfg = read_index_config(index_dir)
+    if not cfg.get("with_positions"):
+        raise ValueError(f"index at {index_dir} has no positions")
+    if buckets is None:
+        buckets = int(cfg["buckets"])
+    q = sorted(set(terms))
+    bks = sorted({bucket_of(t, buckets) for t in q})
+    blocks = (
+        read_postings(spark, index_dir)
+        .where(F.col("bucket").isin(bks))
+        .where(F.col("term").isin(q))
+        .select("segment", "term", "doc_gaps", "tfs", "poss")
+    )
+    from .index import sorted_isin, tombstone_ids
+
+    dead = tombstone_ids(index_dir)
+    tq = list(terms)
+    s = int(slop)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        r = _segment_near(pdf.drop(columns=["segment"]), tq, s)
+        if dead is not None and len(r):
+            r = r[~sorted_isin(dead, r["doc_id"].to_numpy())]  # tombstones
+        return r
+
+    return blocks.groupBy("segment").applyInPandas(
+        run, schema="doc_id bigint, n_occ bigint",
+    )
+
+
 def _segment_phrase(pdf: pd.DataFrame, phrase: list[str]) -> pd.DataFrame:
     """One segment's positional blocks for the phrase terms -> (doc, n_occ).
 

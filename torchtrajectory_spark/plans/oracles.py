@@ -245,6 +245,54 @@ SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
 """.strip()
 
 
+def phrase_near_sql(terms: list[str], slop: int) -> str:
+    """Ordered proximity oracle (SpanNear analog): count strictly
+    increasing position tuples, one per query term in order, with
+    p_last - p_first <= (n-1) + slop — the exact tuple-counting semantics
+    of ``count_near_tuples``. Generated as nested DuckDB list lambdas
+    (outer lambda variables are capturable in inner lambdas; empty
+    list_sum coalesces to 0)."""
+    n = len(terms)
+    if n == 0:
+        raise ValueError("empty proximity query")
+    lim = n - 1 + int(slop)
+
+    def esc(t: str) -> str:
+        return t.replace("'", "''")
+
+    def inner(j: int, prev: str) -> str:
+        var = f"p{j}"
+        rng = f"range({prev} + 1, least(p0 + {lim}, len(t)) + 1)"
+        if j == n - 1:
+            return (f"len(list_filter({rng}, "
+                    f"{var} -> t[{var}] = '{esc(terms[j])}'))")
+        return (
+            f"coalesce(list_sum(list_transform({rng}, {var} -> "
+            f"CASE WHEN t[{var}] = '{esc(terms[j])}' THEN {inner(j + 1, var)} "
+            f"ELSE 0 END)), 0)"
+        )
+
+    if n == 1:
+        body = f"len(list_filter(t, x -> x = '{esc(terms[0])}'))"
+    else:
+        body = (
+            f"coalesce(list_sum(list_transform(range(1, len(t) + 1), p0 -> "
+            f"CASE WHEN t[p0] = '{esc(terms[0])}' THEN {inner(1, 'p0')} "
+            f"ELSE 0 END)), 0)"
+        )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST({body} AS BIGINT) AS n_occ FROM toks
+)
+SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
+""".strip()
+
+
 def bool_or_sql(terms: list[str]) -> str:
     tl = _terms_list(sorted(set(terms)))
     return f"""

@@ -454,6 +454,22 @@ def q_phrase_trigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      buckets=_INDEX_BUCKETS)
 
 
+NEAR_Q, NEAR_SLOP = ["spark", "window"], 4  # ordered, window <= 1 + 4
+
+
+def q_phrase_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (SpanNear analog), corpus-direct Arrow pass."""
+    return phrase.near_count(_docs(spark, sf_dir), NEAR_Q, NEAR_SLOP)
+
+
+def q_phrase_near_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity over the positional index (bucket+term-pruned
+    scan, per-segment Arrow kernel)."""
+    idx = ensure_index(spark, sf_dir, with_positions=True)
+    return phrase.near_count_index(spark, idx, NEAR_Q, NEAR_SLOP,
+                                   buckets=_INDEX_BUCKETS)
+
+
 def q_topk_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.topk_bm25_filtered(
         _docs(spark, sf_dir), Q_TOPK, K, F.col("lang").isin(FILTER_LANGS)
@@ -835,6 +851,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,        # NEW in r4 (FuzzyQuery)
     "topk_bm25_deleted": q_topk_bm25_deleted,    # NEW in r4 (tombstones)
     "topk_bm25_purged": q_topk_bm25_purged,      # NEW in r4 (purge)
+    "phrase_near": q_phrase_near,                # NEW in r4 (SpanNear)
+    "phrase_near_indexed": q_phrase_near_indexed,  # NEW in r4
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -926,6 +944,8 @@ ORACLES: dict[str, str] = {
     "phrase_trigram": oracles.phrase_count_sql(PHRASE_3),
     "phrase_bigram_indexed": oracles.phrase_count_sql(PHRASE_2),
     "phrase_trigram_indexed": oracles.phrase_count_sql(PHRASE_3),
+    "phrase_near": oracles.phrase_near_sql(NEAR_Q, NEAR_SLOP),
+    "phrase_near_indexed": oracles.phrase_near_sql(NEAR_Q, NEAR_SLOP),
     "cluster_assign": oracles_ext.cluster_assign_sql(KMEANS_K),
     # cluster_kmeans / cluster_metrics: fixed-point Lloyd spec — the
     # oracle unrolls the identical 3 iterations in integer arithmetic
