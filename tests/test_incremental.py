@@ -1,0 +1,142 @@
+"""In-place incremental ingest (`add_documents`) — IndexWriter.addDocuments
+analog over the append-only segment layout.
+
+The invariant is the same one `merge_indexes` pins: because every global
+BM25 statistic is an associative aggregate the query path computes across
+segments, queries after an add are rank- AND score-identical to a fresh
+single build over the union corpus. The reference index is write-once
+(``InvertedIndex.java:49-136``); this is the live-index maintenance
+surface a long-lived 10^12-file deployment needs alongside deletes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from torchtrajectory_spark.engine import Engine
+from torchtrajectory_spark.operators.index import (
+    add_documents,
+    build_index,
+    delete_docs,
+    read_index_config,
+    read_manifest,
+)
+from torchtrajectory_spark.operators.wand import topk_bm25_index
+from torchtrajectory_spark.sources.corpus import synth_corpus
+
+N_ALL = 300
+N_BASE = 200
+BUCKETS = 8
+Q = ["def", "return", "class"]
+K = 10
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synth_corpus(spark, N_ALL, partitions=6)
+
+
+def _build(spark, df, d, **kw):
+    build_index(
+        spark, df, d,
+        id_col="doc_id", text_col="content", analyzer="code",
+        meta_cols=("repo", "lang"), buckets=BUCKETS,
+        **{"n_segments": 2, **kw},
+    )
+
+
+@pytest.fixture(scope="module")
+def incremental(spark, corpus, tmp_path_factory):
+    """Index built on the first 200 docs, then 100 more added in-place."""
+    d = str(tmp_path_factory.mktemp("inc"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    added = add_documents(
+        spark, d, corpus.where(F.col("doc_id") >= N_BASE),
+        meta_cols=("repo", "lang"), n_segments=1, verify_disjoint=True,
+    )
+    assert added == 1
+    return d
+
+
+@pytest.fixture(scope="module")
+def union_build(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("union"))
+    _build(spark, corpus, d, n_segments=3)
+    return d
+
+
+def test_add_matches_fresh_union_build(spark, incremental, union_build):
+    got = topk_bm25_index(spark, incremental, Q, K).collect()
+    want = topk_bm25_index(spark, union_build, Q, K).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_add_updates_manifest_and_config(spark, incremental):
+    m = read_manifest(spark, incremental)
+    assert m.count() == 3  # 2 base + 1 appended
+    assert m.agg(F.sum("row_count")).first()[0] == N_ALL
+    assert read_index_config(incremental)["n_segments"] == 3
+
+
+def test_add_preserves_tombstones(spark, corpus, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("incdel"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    victim = int(topk_bm25_index(spark, d, Q, K).first()["doc_id"])
+    delete_docs(spark, d, [victim])
+    add_documents(spark, d, corpus.where(F.col("doc_id") >= N_BASE),
+                  meta_cols=("repo", "lang"))
+    got = [r["doc_id"] for r in topk_bm25_index(spark, d, Q, K).collect()]
+    assert victim not in got
+
+
+def test_add_verify_disjoint_raises_on_overlap(spark, corpus,
+                                               tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("incdup"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    with pytest.raises(ValueError, match="share doc_ids"):
+        add_documents(spark, d, corpus.where(F.col("doc_id") < 10),
+                      meta_cols=("repo", "lang"), verify_disjoint=True)
+
+
+def test_engine_add_invalidates_statistic_memos(spark, corpus, union_build,
+                                                tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("incmemo"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    eng = Engine.from_index(spark, d)
+    eng.find_topk(Q, K).collect()  # warms the (term-set) df/scalars memo
+    assert eng._meta_cache
+    eng.add_documents(corpus.where(F.col("doc_id") >= N_BASE),
+                      meta_cols=("repo", "lang"))
+    assert not eng._meta_cache and eng._scalars is None
+    got = eng.find_topk(Q, K).collect()  # must see the NEW statistics
+    want = topk_bm25_index(spark, union_build, Q, K).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_add_positional_index_carries_positions(spark, corpus,
+                                                tmp_path_factory):
+    from torchtrajectory_spark.operators.phrase import (
+        phrase_count,
+        phrase_count_index,
+    )
+
+    d = str(tmp_path_factory.mktemp("incpos"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d,
+           with_positions=True)
+    add_documents(spark, d, corpus.where(F.col("doc_id") >= N_BASE),
+                  meta_cols=("repo", "lang"))
+    ph = ["def", "def"]
+    via_index = sorted(
+        map(tuple, phrase_count_index(spark, d, ph, buckets=BUCKETS)
+            .collect())
+    )
+    direct = sorted(
+        map(tuple, phrase_count(corpus, ph, text_col="content",
+                                analyzer="code").collect())
+    )
+    assert via_index == direct

@@ -192,6 +192,25 @@ class Engine:
             self._meta_cache[key] = meta
         return meta
 
+    def add_documents(self, corpus: DataFrame,
+                      meta_cols: tuple[str, ...] = (),
+                      n_segments: int = 1,
+                      verify_disjoint: bool = False) -> int:
+        """Incremental batch ingest into the opened index
+        (``IndexWriter.addDocuments`` analog): new docs become fresh
+        appended segments; queries afterwards are rank- and
+        score-identical to a fresh build over the union corpus. The
+        per-term-set statistic memos are invalidated — n_docs / avgdl /
+        df all change with the new docs."""
+        from .operators.index import add_documents
+
+        n = add_documents(self.spark, self.index_dir, corpus,
+                          meta_cols=meta_cols, n_segments=n_segments,
+                          verify_disjoint=verify_disjoint)
+        self._meta_cache.clear()
+        self._scalars = None
+        return n
+
     def delete(self, doc_ids) -> int:
         """Tombstone documents (Lucene live-docs semantics): every
         subsequent query masks them out; corpus statistics keep counting

@@ -830,6 +830,102 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
                         os.path.join(paths.manifest, "segment=0"))
 
 
+def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
+                     start_seg: int) -> int:
+    """Copy one source index's committed segments into ``dst`` under
+    fresh sequential ids starting at ``start_seg`` — postings / doc_stats
+    / terms directories byte-identical (segment identity lives in the
+    ``segment=<s>`` directory name), manifest marker rewritten with the
+    new id and committed LAST via the same atomic rename as a build, so
+    concurrent readers never see a half-appended segment. Returns the
+    number of segments re-homed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = IndexPaths(src_dir)
+    new = start_seg
+    for s in sorted(_done_segments(spark, src)):
+        for base_src, base_dst in ((src.postings, dst.postings),
+                                   (src.doc_stats, dst.doc_stats),
+                                   (src.terms, dst.terms)):
+            seg_src = src.seg(base_src, s)
+            if os.path.isdir(seg_src):  # zero-posting segments may
+                shutil.copytree(seg_src, dst.seg(base_dst, new))
+        # manifest row embeds the segment id -> rewrite it, then
+        # commit marker-last with the same atomic rename as a build
+        t = pq.read_table(src.seg(src.manifest, s))
+        idx = t.schema.get_field_index("segment")
+        t = t.set_column(idx, "segment",
+                         pa.array([new] * t.num_rows, t.schema[idx].type))
+        tmp = dst.seg(dst.manifest, new) + ".__tmp__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+        os.replace(tmp, dst.seg(dst.manifest, new))
+        new += 1
+    return new - start_seg
+
+
+def _raise_on_duplicate_docs(spark: SparkSession, index_dir: str,
+                             what: str) -> None:
+    dup = (
+        read_doc_stats(spark, index_dir)
+        .groupBy("doc_id").count().where(F.col("count") > 1)
+    )
+    if dup.limit(1).count():
+        raise ValueError(
+            f"{what}: sources share doc_ids (first duplicate: "
+            f"{dup.first()['doc_id']}) — doc spaces must be disjoint"
+        )
+
+
+def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
+                  meta_cols: tuple[str, ...] = (), n_segments: int = 1,
+                  verify_disjoint: bool = False) -> int:
+    """In-place incremental batch ingest (Lucene ``IndexWriter.addDocuments``
+    analog; the reference index is write-once, ``InvertedIndex.java:49-136``):
+    build the new docs into a TEMPORARY index with the live index's exact
+    configuration (analyzer / buckets / block_size / positions — term
+    bucketing and scoring depend on them), then re-home its committed
+    segments under fresh ids at the metadata level. Concurrent readers
+    are safe throughout: a segment becomes visible only via the atomic
+    manifest-marker rename (committed-segments-only reads), and existing
+    tombstones stay valid because live doc_ids are untouched.
+
+    Statistics need no rebuild — n_docs / avgdl / df are associative
+    aggregates the query path computes across segments, so queries after
+    the add are rank- AND score-identical to a fresh build over the union
+    corpus (tested; same invariant as :func:`merge_indexes`). Caller
+    guarantees new doc_ids are disjoint from the live index
+    (``verify_disjoint=True`` checks, one aggregation). Returns the
+    number of segments appended."""
+    cfg = read_index_config(index_dir)
+    tmp = os.path.normpath(index_dir) + ".__add_tmp__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        build_index(
+            spark, corpus, tmp,
+            id_col=cfg["id_col"], text_col=cfg["text_col"],
+            analyzer=cfg["analyzer"], meta_cols=tuple(meta_cols),
+            n_segments=int(n_segments), buckets=int(cfg["buckets"]),
+            block_size=int(cfg["block_size"]),
+            with_positions=bool(cfg.get("with_positions")),
+            table_format=cfg.get("table_format", "parquet"),
+            resume=False,
+        )
+        dst = IndexPaths(index_dir)
+        start = max(_done_segments(spark, dst), default=-1) + 1
+        added = _rehome_segments(spark, tmp, dst, start)
+        _write_index_config(index_dir, {**cfg, "n_segments": start + added})
+        invalidate_index_cache(index_dir)
+        if verify_disjoint:
+            _raise_on_duplicate_docs(spark, index_dir, "add_documents")
+        return added
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
                   verify_disjoint: bool = False) -> None:
     """Merge independently BUILT indexes into one — the shard-then-combine
@@ -869,33 +965,9 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
     dst = IndexPaths(dst_dir)
     os.makedirs(dst.manifest, exist_ok=True)
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     next_seg = 0
     for src_dir in src_dirs:
-        src = IndexPaths(src_dir)
-        for s in sorted(_done_segments(spark, src)):
-            new = next_seg
-            next_seg += 1
-            for base_src, base_dst in ((src.postings, dst.postings),
-                                       (src.doc_stats, dst.doc_stats),
-                                       (src.terms, dst.terms)):
-                seg_src = src.seg(base_src, s)
-                if os.path.isdir(seg_src):  # zero-posting segments may
-                    shutil.copytree(seg_src, dst.seg(base_dst, new))
-            # manifest row embeds the segment id -> rewrite it, then
-            # commit marker-last with the same atomic rename as a build
-            t = pq.read_table(src.seg(src.manifest, s))
-            idx = t.schema.get_field_index("segment")
-            t = t.set_column(idx, "segment",
-                             pa.array([new] * t.num_rows, t.schema[idx].type))
-            tmp = dst.seg(dst.manifest, new) + ".__tmp__"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            os.makedirs(tmp, exist_ok=True)
-            pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
-            os.replace(tmp, dst.seg(dst.manifest, new))
+        next_seg += _rehome_segments(spark, src_dir, dst, next_seg)
     # tombstones carry over: doc spaces are disjoint, so each source's
     # deletes stay valid in the merged index (re-homed under fresh
     # sequential del=<n> generations, same atomic rename as above)
@@ -916,16 +988,7 @@ def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
                                   "merged_from": list(src_dirs)})
     invalidate_index_cache(dst_dir)
     if verify_disjoint:
-        dup = (
-            read_doc_stats(spark, dst_dir)
-            .groupBy("doc_id").count().where(F.col("count") > 1)
-        )
-        n = dup.limit(1).count()
-        if n:
-            raise ValueError(
-                "merge_indexes: sources share doc_ids (first duplicate: "
-                f"{dup.first()['doc_id']}) — doc spaces must be disjoint"
-            )
+        _raise_on_duplicate_docs(spark, dst_dir, "merge_indexes")
 
 
 def _write_index_config(index_dir: str, cfg: dict) -> None:
