@@ -324,13 +324,20 @@ def main() -> None:
     from torchtrajectory_spark.plans.queries import (
         ensure_centroids,
         ensure_compacted_index,
+        ensure_deleted_index,
         ensure_index,
+        ensure_purged_index,
         ensure_seq_table,
     )
 
     ensure_index(spark, SF_DIR)
     ensure_index(spark, SF_DIR, with_positions=True)
     ensure_compacted_index(spark, SF_DIR)
+    # tombstoned + purged fixture copies: delete/compaction are index
+    # MAINTENANCE (measured r4: 6.4 s first-touch inside the purged-query
+    # row, pure setup) — the queries should time the masked/purged scan
+    ensure_deleted_index(spark, SF_DIR)
+    ensure_purged_index(spark, SF_DIR)
     ensure_seq_table(spark, SF_DIR)
     ensure_centroids(spark, SF_DIR)
 

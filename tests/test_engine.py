@@ -251,3 +251,37 @@ def test_find_topk_many_filtered_empty_predicate(spark, engine):
     assert [f.name for f in out.schema.fields] == ["query_id", "doc_id",
                                                    "score"]
     assert out.count() == 0
+
+
+def test_explain_score_sums_to_topk_score(spark, engine):
+    """Lucene Explanation analog: per-term contributions of a doc sum to
+    its find_topk score exactly (same float64 formula, no re-derivation)."""
+    eng, _ = engine
+    q = ["spark", "join", "window"]
+    top = eng.find_topk(q, 3).collect()
+    for r in top:
+        parts = eng.explain_score(q, r["doc_id"]).collect()
+        assert parts, f"no breakdown rows for doc {r['doc_id']}"
+        assert sum(p["contribution"] for p in parts) == pytest.approx(
+            r["score"], abs=1e-12
+        )
+        for p in parts:
+            assert p["tf"] >= 1 and p["df"] >= 1
+            assert p["idf"] > 0 and p["contribution"] > 0
+        assert [p["term"] for p in parts] == sorted(p["term"] for p in parts)
+
+
+def test_explain_score_absent_and_unknown_terms(spark, engine):
+    eng, docs = engine
+    # a doc NOT containing 'spark': breakdown lists only present terms
+    has = {r["doc_id"] for r in docs.where(
+        F.array_contains(F.split(F.lower("text"), " "), "spark")
+    ).select("doc_id").collect()}
+    missing = next(r["doc_id"] for r in docs.select("doc_id").collect()
+                   if r["doc_id"] not in has)
+    parts = eng.explain_score(["spark", "join"], missing).collect()
+    assert all(p["term"] != "spark" for p in parts)
+    # wholly unknown term set: empty frame with the stable schema
+    empty = eng.explain_score(["zzz_not_a_term"], 0)
+    assert empty.columns == ["term", "tf", "df", "idf", "contribution"]
+    assert empty.count() == 0

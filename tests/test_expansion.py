@@ -128,3 +128,23 @@ def test_engine_facade_memoizes_expansion(spark, idx):
             spark, idx, "clas", K, max_edits=1
         ).collect()
     ]
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    st.text(alphabet="ab1*?", min_size=0, max_size=10),
+    st.text(alphabet="ab1_", min_size=0, max_size=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_wildcard_regex_matches_fnmatch(pattern, candidate):
+    """Property: the anchored-regex translation agrees with Python's
+    fnmatch glob semantics for * and ? (no char classes in our surface),
+    on random patterns and candidate terms."""
+    import fnmatch
+    import re
+
+    got = re.fullmatch(wildcard_regex(pattern)[1:-1], candidate) is not None
+    assert got == fnmatch.fnmatchcase(candidate, pattern)

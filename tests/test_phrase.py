@@ -227,3 +227,20 @@ def test_near_masks_tombstones(spark, pos_index, tmp_path_factory):
                                        buckets=8).collect()}
     assert victim not in after
     assert after == {k: v for k, v in base.items() if k != victim}
+
+
+@given(
+    st.lists(st.sampled_from("abcx"), min_size=0, max_size=40),
+    st.integers(0, 4),
+    st.lists(st.sampled_from("abc"), min_size=2, max_size=3),
+)
+@settings(max_examples=120, deadline=None)
+def test_count_near_tuples_matches_enumeration(tokens, slop, terms):
+    """Property: the searchsorted window counter equals brute tuple
+    enumeration on random token streams (repeated query terms included)."""
+    from torchtrajectory_spark.operators.phrase import count_near_tuples
+
+    pos = {t: np.asarray([i for i, tk in enumerate(tokens) if tk == t],
+                         dtype=np.int64) for t in set(terms)}
+    got = count_near_tuples([pos[t] for t in terms], slop)
+    assert got == brute_near(list(tokens), terms, slop)

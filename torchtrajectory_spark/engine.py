@@ -192,6 +192,19 @@ class Engine:
             self._meta_cache[key] = meta
         return meta
 
+    def explain_score(self, terms: list[str], doc_id: int) -> DataFrame:
+        """Per-term BM25 breakdown for one document (Lucene
+        ``Explanation`` analog): (term, tf, df, idf, contribution);
+        the contributions sum to the doc's ``find_topk`` score exactly
+        (tested). Rides the memoized per-term-set statistics."""
+        from .operators.wand import explain_score
+
+        return explain_score(
+            self.spark, self.index_dir, terms, doc_id,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(sorted({str(t) for t in terms})),
+        )
+
     def add_documents(self, corpus: DataFrame,
                       meta_cols: tuple[str, ...] = (),
                       n_segments: int = 1,

@@ -525,6 +525,55 @@ def topk_bm25_index_filtered(
     )
 
 
+def explain_score(spark: SparkSession, index_dir: str, terms: list[str],
+                  doc_id: int,
+                  buckets: int | None = None,
+                  k1: float = BM25_K1, b: float = BM25_B,
+                  meta: IndexMeta | None = None) -> DataFrame:
+    """Per-term BM25 score breakdown for ONE document — the Lucene
+    ``Explanation`` analog (the reference prints per-edge weights ad hoc
+    in its demo, ``EdgeInvertedIndex.java:196-233``; this is that
+    debugging surface as a queryable DataFrame).
+
+    Returns (term, tf, df, idf, contribution) for every query term
+    present in the doc; ``sum(contribution)`` over the rows equals the
+    doc's ``find_topk`` score exactly (same float64 formula, pinned in
+    tests). The scan is the standard bucket+term-pruned postings probe,
+    so only the query terms' blocks are decoded."""
+    from ..functions.bm25 import idf_py, tf_sat_expr
+    from .index import postings_flat
+
+    q = sorted(set(str(t) for t in terms))
+    if meta is None:
+        meta = query_term_meta(spark, index_dir, q, buckets=buckets)
+    known = [t for t in q if t in meta.term_df]
+    schema = ("term string, tf bigint, df double, idf double, "
+              "contribution double")
+    if not known:
+        return spark.createDataFrame([], schema)
+    idf_map = F.create_map(*[
+        F.lit(x) for t in known
+        for x in (t, idf_py(meta.term_df[t], meta.n_docs))
+    ])
+    df_map = F.create_map(*[
+        F.lit(x) for t in known for x in (t, float(meta.term_df[t]))
+    ])
+    return (
+        postings_flat(spark, index_dir, terms=known, buckets=buckets)
+        .where(F.col("doc_id") == int(doc_id))
+        .withColumn("df", F.element_at(df_map, F.col("term")))
+        .withColumn("idf", F.element_at(idf_map, F.col("term")))
+        .withColumn(
+            "contribution",
+            F.col("idf") * tf_sat_expr(F.col("tf").cast("double"),
+                                       F.col("dl").cast("double"),
+                                       meta.avgdl, k1, b),
+        )
+        .select("term", "tf", "df", "idf", "contribution")
+        .orderBy("term")
+    )
+
+
 def expand_prefix(spark: SparkSession, index_dir: str, prefix: str,
                   max_terms: int = 64) -> dict[str, float]:
     """Dictionary expansion for prefix queries: every indexed term

@@ -683,6 +683,68 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def bm25_explain_sql(terms: list[str],
+                     k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Score-explanation oracle: per-term BM25 components for the
+    deterministic top-1 doc of the query (score DESC, doc_id ASC) —
+    tf / df as integers, idf / contribution rounded at 1e-6 like the
+    top-k score hashes."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+top1 AS (
+  SELECT doc_id FROM scores ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(dfs.df AS BIGINT) AS df,
+       CAST(round(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                  * 1e6) AS BIGINT) AS idf_u6,
+       CAST(round(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+                  * tf.tf * ({k1} + 1)
+                  / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+                  * 1e6) AS BIGINT) AS contrib_u6
+FROM tf
+JOIN dfs USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats
+WHERE tf.doc_id = (SELECT doc_id FROM top1)
+ORDER BY tf.term
+""".strip()
+
+
 def bm25_topk_wildcard_sql(pattern: str, k: int,
                            k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Wildcard query oracle: the pattern's anchored-regex translation

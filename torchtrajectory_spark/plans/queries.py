@@ -204,6 +204,22 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(_engine(spark, idx).find_topk_prefix(PREFIX_Q, K))
 
 
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 breakdown (Lucene Explanation analog) for the
+    deterministic top-1 doc of the flagship query — idf/contribution
+    rounded at 1e-6 like every score hash."""
+    idx = ensure_index(spark, sf_dir)
+    eng = _engine(spark, idx)
+    top1 = int(eng.find_topk(Q_TOPK, 1).first()["doc_id"])
+    exp = eng.explain_score(Q_TOPK, top1)
+    return exp.select(
+        "term", "tf", F.col("df").cast("bigint").alias("df"),
+        F.round(F.col("idf") * 1e6).cast("bigint").alias("idf_u6"),
+        F.round(F.col("contribution") * 1e6).cast("bigint")
+        .alias("contrib_u6"),
+    )
+
+
 def q_topk_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wildcard top-k (Lucene WildcardQuery): WILDCARD_Q's expansion
     (regex-filtered dictionary scan with a literal-prefix pushdown)
@@ -853,6 +869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_purged": q_topk_bm25_purged,      # NEW in r4 (purge)
     "phrase_near": q_phrase_near,                # NEW in r4 (SpanNear)
     "phrase_near_indexed": q_phrase_near_indexed,  # NEW in r4
+    "score_explain": q_score_explain,            # NEW in r4 (Explanation)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -929,6 +946,7 @@ ORACLES: dict[str, str] = {
     "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
     "topk_bm25_wildcard": oracles.bm25_topk_wildcard_sql(WILDCARD_Q, K),
+    "score_explain": oracles.bm25_explain_sql(Q_TOPK),
     "topk_bm25_fuzzy": oracles.bm25_topk_fuzzy_sql(FUZZY_Q, FUZZY_EDITS, K),
     "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
         Q_TOPK, K, DEL_PRED_SQL
