@@ -285,3 +285,45 @@ def test_explain_score_absent_and_unknown_terms(spark, engine):
     empty = eng.explain_score(["zzz_not_a_term"], 0)
     assert empty.columns == ["term", "tf", "df", "idf", "contribution"]
     assert empty.count() == 0
+
+
+def test_find_topk_boolean_matches_composed_semantics(spark, engine):
+    """BooleanQuery kernel == manual composition: docs with ALL must
+    terms minus ANY must_not, ranked by the unfiltered should scores."""
+    eng, docs = engine
+    should, must, must_not = ["spark", "join"], ["batch"], ["slow"]
+    base = {r["doc_id"]: r["score"]
+            for r in eng.find_topk(should, 10_000).collect()}
+    toks = F.split(F.lower("text"), " ")
+    ok_ids = {
+        r["doc_id"]
+        for r in docs.where(
+            F.array_contains(toks, "batch") & ~F.array_contains(toks, "slow")
+        ).select("doc_id").collect()
+    }
+    want = sorted(
+        ((d, s) for d, s in base.items() if d in ok_ids),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = [(r["doc_id"], r["score"])
+           for r in eng.find_topk_boolean(should, 10, must=must,
+                                          must_not=must_not).collect()]
+    assert got == want  # clause filtering never changes scores
+
+
+def test_find_topk_boolean_edge_cases(spark, engine):
+    eng, _ = engine
+    # must term absent from the corpus -> empty, stable schema
+    r = eng.find_topk_boolean(["spark"], 5, must=["zzz_not_a_term"])
+    assert r.columns == ["doc_id", "score"] and r.count() == 0
+    # must_not covering every should match -> empty
+    r2 = eng.find_topk_boolean(["spark"], 5, must_not=["spark"])
+    assert r2.count() == 0
+    # no clauses degenerates to plain find_topk
+    a = eng.find_topk_boolean(["spark", "join"], 10).collect()
+    b = eng.find_topk(["spark", "join"], 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+    with pytest.raises(ValueError, match="should"):
+        eng.find_topk_boolean([], 5, must=["spark"])

@@ -192,6 +192,23 @@ class Engine:
             self._meta_cache[key] = meta
         return meta
 
+    def find_topk_boolean(self, should: list[str], k: int = DEFAULT_K,
+                          must: list[str] | tuple = (),
+                          must_not: list[str] | tuple = ()) -> DataFrame:
+        """Boolean-clause top-k (Lucene ``BooleanQuery``): ``should``
+        terms score, ``must`` terms all required (non-scoring filters),
+        ``must_not`` excludes. One pruned postings scan + one kernel
+        stage for all three clause sets; statistics memoized on the
+        should terms."""
+        from .operators.wand import topk_bm25_index_boolean
+
+        sq = sorted({str(t) for t in should})
+        return topk_bm25_index_boolean(
+            self.spark, self.index_dir, sq, k, must=must, must_not=must_not,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(sq),
+        )
+
     def explain_score(self, terms: list[str], doc_id: int) -> DataFrame:
         """Per-term BM25 breakdown for one document (Lucene
         ``Explanation`` analog): (term, tf, df, idf, contribution);

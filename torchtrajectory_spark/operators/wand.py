@@ -525,6 +525,90 @@ def topk_bm25_index_filtered(
     )
 
 
+def topk_bm25_index_boolean(
+    spark: SparkSession,
+    index_dir: str,
+    should: list[str],
+    k: int = DEFAULT_K,
+    must: list[str] | tuple = (),
+    must_not: list[str] | tuple = (),
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Lucene ``BooleanQuery`` analog: ``should`` terms score (BM25 sum,
+    index-wide statistics), ``must`` terms are non-scoring filter clauses
+    (doc must contain ALL), ``must_not`` excludes docs containing ANY.
+    ``should`` must be non-empty — a pure-filter query is
+    ``bool_and_index_blocks``' job, not a ranking.
+
+    ONE bucket+term-pruned postings scan covers the union of all three
+    clause sets and ONE per-segment kernel resolves them: the must /
+    must_not terms' docID streams decode into an allowed set
+    (intersection) and an extra blocked set (union, merged with the
+    tombstones), then the standard block-max WAND scan runs over the
+    should blocks with heap membership restricted — theta-pruning and
+    lazy payload decode stay fully effective under the clauses (same
+    shape as the metadata-filtered path, without the doc_stats cogroup).
+    """
+    sq = sorted({str(t) for t in should})
+    if not sq:
+        raise ValueError("boolean top-k requires at least one should term")
+    sm = sorted({str(t) for t in must})
+    sn = sorted({str(t) for t in must_not})
+    if meta is None:
+        meta = query_term_meta(spark, index_dir, sq, buckets)
+    all_terms = sorted(set(sq) | set(sm) | set(sn))
+    blocks = _q_blocks(spark, index_dir, all_terms, buckets).select(
+        "segment", "term", "n_docs", "max_tf", "min_dl",
+        "doc_gaps", "tfs", "dls",
+    )
+    dead = tombstone_ids(index_dir)
+    n_must = len(sm)
+
+    def _docs_union(grp: pd.DataFrame) -> np.ndarray:
+        return np.unique(np.concatenate(
+            [codec.decode_sorted(g) for g in grp["doc_gaps"]]
+        ))
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
+        allowed = None
+        if sm:
+            per_term = [
+                _docs_union(grp)
+                for t, grp in pdf[pdf["term"].isin(sm)].groupby("term")
+            ]
+            if len(per_term) < n_must:
+                return empty  # a must term absent from this segment
+            per_term.sort(key=len)
+            allowed = per_term[0]
+            for arr in per_term[1:]:
+                allowed = np.intersect1d(arr, allowed, assume_unique=True)
+            if allowed.size == 0:
+                return empty
+        blocked = dead
+        neg = pdf[pdf["term"].isin(sn)]
+        if len(neg):
+            banned = _docs_union(neg)
+            blocked = (banned if blocked is None
+                       else np.union1d(blocked, banned))
+        return _segment_topk(
+            pdf[pdf["term"].isin(sq)].drop(columns=["segment"]),
+            sq, k, meta, k1, b, allowed=allowed, blocked=blocked,
+        )
+
+    per_seg = blocks.groupBy("segment").applyInPandas(
+        run, schema="doc_id bigint, score double"
+    )
+    return (
+        per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def explain_score(spark: SparkSession, index_dir: str, terms: list[str],
                   doc_id: int,
                   buckets: int | None = None,

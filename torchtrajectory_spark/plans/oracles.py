@@ -683,6 +683,32 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def bm25_topk_boolean_sql(should: list[str], k: int,
+                          must: list[str] | tuple = (),
+                          must_not: list[str] | tuple = (),
+                          k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """BooleanQuery oracle: should terms score (index-wide statistics),
+    must restricts the RANKING to docs containing ALL of them, must_not
+    excludes docs containing ANY — filter clauses never change scores
+    (Lucene non-scoring clause semantics)."""
+    conds = []
+    if must:
+        ms = sorted(set(must))
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM tok "
+            f"WHERE term IN ({_terms_list(ms)}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(ms)})"
+        )
+    if must_not:
+        conds.append(
+            f"doc_id NOT IN (SELECT doc_id FROM tok "
+            f"WHERE term IN ({_terms_list(sorted(set(must_not)))}))"
+        )
+    tl = _terms_list(sorted(set(should)))
+    return _bm25_topk_core(f"term IN ({tl})", k, k1, b,
+                           result_where=" AND ".join(conds))
+
+
 def bm25_explain_sql(terms: list[str],
                      k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Score-explanation oracle: per-term BM25 components for the

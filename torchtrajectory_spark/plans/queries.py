@@ -204,6 +204,21 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(_engine(spark, idx).find_topk_prefix(PREFIX_Q, K))
 
 
+BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
+
+
+def q_topk_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BooleanQuery top-k: Q_TOPK scores (should), docs must contain
+    'batch' and must not contain 'slow' — filter clauses never change
+    scores."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(
+        _engine(spark, idx).find_topk_boolean(
+            Q_TOPK, K, must=BOOL_MUST, must_not=BOOL_MUST_NOT
+        )
+    )
+
+
 def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term BM25 breakdown (Lucene Explanation analog) for the
     deterministic top-1 doc of the flagship query — idf/contribution
@@ -870,6 +885,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_near": q_phrase_near,                # NEW in r4 (SpanNear)
     "phrase_near_indexed": q_phrase_near_indexed,  # NEW in r4
     "score_explain": q_score_explain,            # NEW in r4 (Explanation)
+    "topk_bm25_boolean": q_topk_bm25_boolean,    # NEW in r4 (BooleanQuery)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -947,6 +963,9 @@ ORACLES: dict[str, str] = {
     "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
     "topk_bm25_wildcard": oracles.bm25_topk_wildcard_sql(WILDCARD_Q, K),
     "score_explain": oracles.bm25_explain_sql(Q_TOPK),
+    "topk_bm25_boolean": oracles.bm25_topk_boolean_sql(
+        Q_TOPK, K, BOOL_MUST, BOOL_MUST_NOT
+    ),
     "topk_bm25_fuzzy": oracles.bm25_topk_fuzzy_sql(FUZZY_Q, FUZZY_EDITS, K),
     "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
         Q_TOPK, K, DEL_PRED_SQL
