@@ -129,3 +129,71 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     # the synthetic corpus mixes langs, so restricting to py must change
     # at least one query's result set
     assert frec["topk"] != rec["topk"]
+
+
+def test_spark_submit_query_modes(tmp_path):
+    """The CLI's MultiTermQuery modes + boolean clauses run end-to-end
+    through spark-submit (the exactness of each mode is pinned by the
+    engine oracle tests; this proves the job wires them)."""
+    package = _load_package_module()
+
+    zip_path = package.build(str(tmp_path / "tts.zip"))
+    submit = _spark_submit()
+    idx = str(tmp_path / "idx")
+
+    _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "build_index_job.py"),
+        "--synth", "400", "--output", idx,
+        "--segments", "2", "--buckets", "8",
+    ])
+
+    # prefix mode: 're' expands over return/req... — scores descend
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "re", "-k", "5", "--mode", "prefix",
+    ])
+    rec = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rec["mode"] == "prefix" and len(rec["topk"]) == 5
+    scores = [s for _, s in rec["topk"]]
+    assert scores == sorted(scores, reverse=True)
+
+    # fuzzy mode: 'claas' within 2 edits of 'class'
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "claas", "-k", "5", "--mode", "fuzzy",
+    ])
+    rec = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rec["mode"] == "fuzzy" and len(rec["topk"]) == 5
+
+    # boolean clauses: must_not shrinks/changes the plain result
+    plain = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "def return", "-k", "5",
+    ])
+    plain_rec = json.loads(
+        [ln for ln in plain.splitlines() if ln.startswith("{")][-1]
+    )
+    out = _run([
+        submit, "--master", "local[2]", "--py-files", zip_path,
+        os.path.join(ROOT, "scripts", "topk_job.py"),
+        "--index", idx, "--query", "def return", "-k", "5",
+        "--must-not", "class",
+    ])
+    rec = json.loads(
+        [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    )
+    assert rec["must_not"] == ["class"]
+    assert rec["topk"] != plain_rec["topk"]
+    # surviving docs keep their EXACT unfiltered scores
+    plain_scores = dict(plain_rec["topk"])
+    for doc, score in rec["topk"]:
+        if doc in plain_scores:
+            assert score == plain_scores[doc]
