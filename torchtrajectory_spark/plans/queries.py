@@ -907,9 +907,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_trigram_indexed": q_phrase_trigram_indexed,
     "cluster_assign": q_cluster_assign,
     "cluster_kmeans": q_cluster_kmeans,
-    # -- tail: driver-green in r01, r02 AND r03; sit out this round
-    # (cluster_metrics / cluster_top_terms / cluster_paths r03-green,
-    # bumped past the 50-row cap by the three new r4 entries) --
+    # -- tail: driver-green in r01, r02 AND r03; sit out this round.
+    # With 72 registry entries the driver's 50-row cap now also parks
+    # the last sim_* measures, the phrase_* family and cluster_assign /
+    # cluster_kmeans — ALL r03-green, so every parked query has driver
+    # evidence within the trailing round. ROUND 5: rotate the parked
+    # tail back into the head (swap with the r4-verified entries). --
     "cluster_metrics": q_cluster_metrics,
     "cluster_top_terms": q_cluster_top_terms,
     "cluster_paths": q_cluster_paths,
