@@ -244,3 +244,40 @@ def test_count_near_tuples_matches_enumeration(tokens, slop, terms):
                          dtype=np.int64) for t in set(terms)}
     got = count_near_tuples([pos[t] for t in terms], slop)
     assert got == brute_near(list(tokens), terms, slop)
+
+
+@given(
+    st.lists(  # per-doc token streams (docs with all terms become candidates)
+        st.lists(st.sampled_from("abcx"), min_size=0, max_size=25),
+        min_size=1, max_size=8,
+    ),
+    st.integers(0, 3),
+    st.lists(st.sampled_from("abc"), min_size=2, max_size=3),
+)
+@settings(max_examples=120, deadline=None)
+def test_vectorized_kernels_match_per_doc(docs_tokens, slop, terms):
+    """Property: the rank-keyed vectorized near/phrase counters equal
+    the per-doc reference kernels over random multi-doc position sets."""
+    from torchtrajectory_spark.operators.phrase import (
+        _near_counts_vectorized,
+        _phrase_counts_vectorized,
+    )
+
+    cand_pos = []
+    for toks in docs_tokens:
+        pos = {t: np.asarray([i for i, tk in enumerate(toks) if tk == t],
+                             dtype=np.int64) for t in set(terms)}
+        if all(pos[t].size for t in terms):
+            cand_pos.append((toks, [pos[t] for t in terms]))
+    if not cand_pos:
+        return
+    cand = np.arange(len(cand_pos), dtype=np.int64)
+    per_term = [[pl[j] for _, pl in cand_pos] for j in range(len(terms))]
+    lim = len(terms) - 1 + slop
+    got_near = _near_counts_vectorized(cand, per_term, lim)
+    want_near = [brute_near(list(toks), terms, slop)
+                 for toks, _ in cand_pos]
+    assert got_near.tolist() == want_near
+    got_ph = _phrase_counts_vectorized(cand, per_term)
+    want_ph = [brute_phrase(list(toks), terms) for toks, _ in cand_pos]
+    assert got_ph.tolist() == want_ph
