@@ -327,3 +327,34 @@ def test_find_topk_boolean_edge_cases(spark, engine):
     ]
     with pytest.raises(ValueError, match="should"):
         eng.find_topk_boolean([], 5, must=["spark"])
+
+
+def test_facet_counts_matches_corpus(spark, engine):
+    """Facet tally == corpus-side groupBy over the same boolean match,
+    both modes; ordering is (count DESC, value ASC)."""
+    eng, docs = engine
+    terms = ["spark", "join"]
+    toks = F.split(F.lower("text"), " ")
+    for mode, cond in (
+        ("or", F.array_contains(toks, "spark")
+               | F.array_contains(toks, "join")),
+        ("and", F.array_contains(toks, "spark")
+                & F.array_contains(toks, "join")),
+    ):
+        want = [
+            (r["lang"], r["n"]) for r in
+            docs.where(cond).groupBy("lang").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("lang").asc())
+            .limit(10).collect()
+        ]
+        got = [(r["value"], r["n_docs"])
+               for r in eng.facet_counts(terms, "lang", 10,
+                                         mode=mode).collect()]
+        assert got == want, mode
+
+
+def test_facet_counts_edge_cases(spark, engine):
+    eng, _ = engine
+    assert eng.facet_counts(["zzz_not_a_term"], "lang", 5).count() == 0
+    with pytest.raises(ValueError, match="mode"):
+        eng.facet_counts(["spark"], "lang", 5, mode="xor")

@@ -209,6 +209,16 @@ class Engine:
             meta=self._term_meta(sq),
         )
 
+    def facet_counts(self, terms: list[str], facet_col: str,
+                     k: int = DEFAULT_K, mode: str = "or") -> DataFrame:
+        """Facet counts over a boolean match (Lucene facets analog):
+        (value, n_docs) for the top-k values of ``facet_col`` among docs
+        matching the terms (``mode`` = "or" / "and")."""
+        from .operators.boolean import facet_counts
+
+        return facet_counts(self.spark, self.index_dir, terms, facet_col,
+                            k=k, mode=mode, buckets=self._buckets)
+
     def explain_score(self, terms: list[str], doc_id: int) -> DataFrame:
         """Per-term BM25 breakdown for one document (Lucene
         ``Explanation`` analog): (term, tf, df, idf, contribution);

@@ -134,3 +134,71 @@ def bool_and_index_blocks(spark, index_dir: str, query_terms: list[str],
                           buckets: int | None = None) -> DataFrame:
     """AND (J3) from the compressed index — see ``_bool_index_blocks``."""
     return _bool_index_blocks(spark, index_dir, query_terms, "and", buckets)
+
+
+def facet_counts(spark, index_dir: str, query_terms: list[str],
+                 facet_col: str, k: int = 10, mode: str = "or",
+                 buckets: int | None = None) -> DataFrame:
+    """Facet counts over a boolean match (Lucene facets analog): docs
+    matching the query (OR / AND over distinct terms) grouped by a
+    doc-store metadata column, top-k by (count DESC, value ASC).
+
+    Scale shape: the match and the facet tally both happen INSIDE one
+    per-segment cogroup (postings blocks x doc_stats, both sides
+    segment-partitioned and pruned), so the only shuffled rows are the
+    per-segment (value, partial_count) pairs — facet-cardinality-sized,
+    never corpus-sized. The reference has no faceting; this is the
+    result-set analytics surface a search UI needs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import codec
+    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .wand import _q_blocks
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"facet_counts: unknown mode {mode!r}")
+    q = sorted({str(t) for t in query_terms})
+    nq = len(q)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "doc_gaps"
+    )
+    stats = read_doc_stats(spark, index_dir).select(
+        "segment", "doc_id", F.col(facet_col).cast("string").alias("value")
+    )
+    dead = tombstone_ids(index_dir)
+
+    def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"value": pd.Series(dtype="object"),
+                              "cnt": pd.Series(dtype="int64")})
+        per_term = []
+        for _t, grp in blk.groupby("term"):
+            arrs = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
+            per_term.append(np.unique(np.concatenate(arrs)))
+        if not per_term or (mode == "and" and len(per_term) < nq):
+            return empty
+        if mode == "or":
+            match = np.unique(np.concatenate(per_term))
+        else:
+            per_term.sort(key=len)
+            match = per_term[0]
+            for arr in per_term[1:]:
+                match = np.intersect1d(arr, match, assume_unique=True)
+        if dead is not None and match.size:
+            match = match[~sorted_isin(dead, match)]
+        if match.size == 0 or not len(st):
+            return empty
+        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
+        vc = hit.groupby("value", dropna=False).size()
+        return pd.DataFrame({"value": vc.index.astype(object),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    per_seg = blocks.groupBy("segment").cogroup(
+        stats.groupBy("segment")
+    ).applyInPandas(run, schema="value string, cnt bigint")
+    return (
+        per_seg.groupBy("value").agg(F.sum("cnt").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("value").asc())
+        .limit(int(k))
+    )

@@ -1337,7 +1337,8 @@ def postings_flat(spark: SparkSession, index_dir: str,
                   docs_only: bool = False,
                   terms: list[str] | None = None,
                   buckets: int | None = None,
-                  live_only: bool = True) -> DataFrame:
+                  live_only: bool = True,
+                  segments: list[int] | None = None) -> DataFrame:
     """Decode blocks back to (term, doc_id[, tf, dl]) rows — index-backed
     boolean queries and invariant tests build on this.
 
@@ -1354,6 +1355,11 @@ def postings_flat(spark: SparkSession, index_dir: str,
     """
     blocks = read_postings(spark, index_dir)
     dead = tombstone_ids(index_dir) if live_only else None
+    if segments is not None:
+        # partition pruning on the segment=<s> directory layout — point
+        # lookups (explain_score) decode one doc-disjoint segment only
+        blocks = blocks.where(F.col("segment").isin([int(s)
+                                                     for s in segments]))
     if terms is not None:
         q = sorted(set(str(t) for t in terms))
         if buckets is None:

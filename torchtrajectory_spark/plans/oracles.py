@@ -683,6 +683,28 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def facet_counts_sql(terms: list[str], facet_col: str, k: int,
+                     mode: str = "or") -> str:
+    """Facet oracle: top-k facet values (count DESC, value ASC) among
+    docs matching the boolean query."""
+    ts = sorted(set(terms))
+    tl = _terms_list(ts)
+    having = (f"HAVING count(DISTINCT term) = {len(ts)}"
+              if mode == "and" else "")
+    return f"""
+WITH {TOK_CTE},
+m AS (
+  SELECT doc_id FROM tok WHERE term IN ({tl}) GROUP BY doc_id {having}
+)
+SELECT CAST(d.{facet_col} AS VARCHAR) AS value,
+       count(*) AS n_docs
+FROM documents d JOIN m USING (doc_id)
+GROUP BY 1
+ORDER BY n_docs DESC, value ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_topk_boolean_sql(should: list[str], k: int,
                           must: list[str] | tuple = (),
                           must_not: list[str] | tuple = (),

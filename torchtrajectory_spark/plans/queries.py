@@ -207,6 +207,14 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
 
 
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts (Lucene facets analog): top langs among docs
+    matching the flagship query terms (OR), counted per-segment inside
+    one cogroup — only facet-cardinality rows shuffle."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).facet_counts(Q_TOPK, "lang", K, mode="or")
+
+
 def q_topk_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BooleanQuery top-k: Q_TOPK scores (should), docs must contain
     'batch' and must not contain 'slow' — filter clauses never change
@@ -886,6 +894,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phrase_near_indexed": q_phrase_near_indexed,  # NEW in r4
     "score_explain": q_score_explain,            # NEW in r4 (Explanation)
     "topk_bm25_boolean": q_topk_bm25_boolean,    # NEW in r4 (BooleanQuery)
+    "facet_lang": q_facet_lang,                  # NEW in r4 (facets)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -969,6 +978,7 @@ ORACLES: dict[str, str] = {
     "topk_bm25_boolean": oracles.bm25_topk_boolean_sql(
         Q_TOPK, K, BOOL_MUST, BOOL_MUST_NOT
     ),
+    "facet_lang": oracles.facet_counts_sql(Q_TOPK, "lang", K, "or"),
     "topk_bm25_fuzzy": oracles.bm25_topk_fuzzy_sql(FUZZY_Q, FUZZY_EDITS, K),
     "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
         Q_TOPK, K, DEL_PRED_SQL
