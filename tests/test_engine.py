@@ -358,3 +358,52 @@ def test_facet_counts_edge_cases(spark, engine):
     assert eng.facet_counts(["zzz_not_a_term"], "lang", 5).count() == 0
     with pytest.raises(ValueError, match="mode"):
         eng.facet_counts(["spark"], "lang", 5, mode="xor")
+
+
+def test_parse_simple_query():
+    from torchtrajectory_spark.engine import parse_simple_query
+
+    assert parse_simple_query("spark jo* +batch -slow") == (
+        ["spark", "jo*"], ["batch"], ["slow"]
+    )
+    assert parse_simple_query("a a +b +b -c") == (["a"], ["b"], ["c"])
+    # bare '+'/'-' are terms, not empty clauses
+    assert parse_simple_query("+ -") == (["+", "-"], [], [])
+    assert parse_simple_query("") == ([], [], [])
+
+
+def test_search_compiles_to_boolean(spark, engine):
+    """search() == find_topk_boolean over the parsed clauses with the
+    prefix expansion folded into the scoring set."""
+    from torchtrajectory_spark.operators.wand import expand_prefix
+
+    eng, _ = engine
+    got = eng.search("spark jo* +batch -slow", 10).collect()
+    should = sorted({"spark", *expand_prefix(spark, eng.index_dir, "jo")})
+    want = eng.find_topk_boolean(should, 10, must=["batch"],
+                                 must_not=["slow"]).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    with pytest.raises(ValueError, match="scoring"):
+        eng.search("+batch -slow", 10)
+
+
+def test_snippets_window_semantics(spark, engine):
+    """Snippet == brute-force window around the first match; edges clamp."""
+    from torchtrajectory_spark.operators.snippet import snippets
+
+    _, docs = engine
+    terms, w = ["spark", "join"], 3
+    got = {r["doc_id"]: (r["pos"], r["snippet"])
+           for r in snippets(docs, terms, w).collect()}
+    pdf = docs.select("doc_id", "text").toPandas()
+    expected = {}
+    for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        pos = min((toks.index(t) + 1 for t in set(terms) if t in toks),
+                  default=None)
+        if pos is not None:
+            lo, hi = max(1, pos - w), min(len(toks), pos + w)
+            expected[doc_id] = (pos, " ".join(toks[lo - 1:hi]))
+    assert got == expected and got

@@ -42,6 +42,25 @@ from .operators.wand import (
 )
 
 
+def parse_simple_query(query: str) -> tuple[list[str], list[str], list[str]]:
+    """Split a simple-syntax query into (should, must, must_not) —
+    whitespace-separated clauses, ``+``/``-`` prefixes strip into the
+    filter sets, everything else (including trailing-``*`` patterns)
+    stays in should. Duplicates collapse; order is input order."""
+    should: list[str] = []
+    must: list[str] = []
+    must_not: list[str] = []
+    for raw in str(query).split():
+        if raw.startswith("+") and len(raw) > 1:
+            must.append(raw[1:])
+        elif raw.startswith("-") and len(raw) > 1:
+            must_not.append(raw[1:])
+        else:
+            should.append(raw)
+    return (list(dict.fromkeys(should)), list(dict.fromkeys(must)),
+            list(dict.fromkeys(must_not)))
+
+
 @dataclass
 class Engine:
     spark: SparkSession
@@ -208,6 +227,30 @@ class Engine:
             buckets=self._buckets, k1=self.k1, b=self.b,
             meta=self._term_meta(sq),
         )
+
+    def search(self, query: str, k: int = DEFAULT_K,
+               max_terms: int = 64) -> DataFrame:
+        """Simple query syntax (Lucene SimpleQueryParser subset):
+        whitespace-separated clauses — bare terms score (should),
+        ``+term`` is a required non-scoring filter, ``-term`` excludes,
+        a trailing ``*`` on a bare term expands as a prefix into the
+        scoring set. Compiles onto :meth:`find_topk_boolean`.
+
+            eng.search("spark jo* +batch -slow", k=10)
+        """
+        should, must, must_not = parse_simple_query(query)
+        bare = [t for t in should if not t.endswith("*")]
+        for pat in [t for t in should if t.endswith("*")]:
+            from .operators.wand import expand_prefix
+
+            bare.extend(expand_prefix(self.spark, self.index_dir,
+                                      pat[:-1], max_terms))
+        if not bare:
+            raise ValueError(
+                f"query {query!r} has no scoring terms (bare or prefix)"
+            )
+        return self.find_topk_boolean(sorted(set(bare)), k,
+                                      must=must, must_not=must_not)
 
     def facet_counts(self, terms: list[str], facet_col: str,
                      k: int = DEFAULT_K, mode: str = "or") -> DataFrame:

@@ -683,6 +683,65 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def snippets_sql(terms: list[str], width: int) -> str:
+    """Snippet oracle: window of ``width`` tokens each side of the FIRST
+    occurrence of any query term (1-based), space-joined — the exact
+    semantics of ``operators.snippet.snippets`` (list_position yields 0
+    for absent and least skips NULLs in both engines)."""
+    ts = sorted(set(terms))
+    ps = [
+        "nullif(list_position(t, '" + t.replace("'", "''") + "'), 0)"
+        for t in ts
+    ]
+    pos = ps[0] if len(ps) == 1 else f"least({', '.join(ps)})"
+    w = int(width)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t, {pos} AS pos FROM toks
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         t[greatest(1, pos - {w}):least(len(t), pos + {w})], ' '
+       ) AS snippet
+FROM m WHERE pos IS NOT NULL
+""".strip()
+
+
+def bm25_topk_search_sql(bare: list[str], prefixes: list[str],
+                         must: list[str], must_not: list[str], k: int,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Simple-syntax search oracle: bare terms + prefix expansions score
+    (should), must/must_not are the BooleanQuery filter clauses. Valid
+    while the engine-side expansion cap is not hit (same caveat as the
+    prefix oracle)."""
+    preds = []
+    if bare:
+        preds.append(f"term IN ({_terms_list(sorted(set(bare)))})")
+    for p in sorted(set(prefixes)):
+        preds.append("starts_with(term, '" + p.replace("'", "''") + "')")
+    conds = []
+    if must:
+        ms = sorted(set(must))
+        conds.append(
+            f"doc_id IN (SELECT doc_id FROM tok "
+            f"WHERE term IN ({_terms_list(ms)}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(ms)})"
+        )
+    if must_not:
+        conds.append(
+            f"doc_id NOT IN (SELECT doc_id FROM tok "
+            f"WHERE term IN ({_terms_list(sorted(set(must_not)))}))"
+        )
+    return _bm25_topk_core(f"({' OR '.join(preds)})", k, k1, b,
+                           result_where=" AND ".join(conds))
+
+
 def facet_counts_sql(terms: list[str], facet_col: str, k: int,
                      mode: str = "or") -> str:
     """Facet oracle: top-k facet values (count DESC, value ASC) among

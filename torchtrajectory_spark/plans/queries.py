@@ -207,6 +207,26 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
 
 
+SNIPPET_TERMS, SNIPPET_W = ["dup"], 5   # rare term: small result set
+SEARCH_Q = "spark wi* +batch -slow"     # bare + prefix + must + must_not
+
+
+def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippet extraction (Lucene highlighter analog) around the first
+    match of a rare term — Catalyst-only, one corpus scan."""
+    from ..operators.snippet import snippets
+
+    return snippets(_docs(spark, sf_dir), SNIPPET_TERMS, SNIPPET_W)
+
+
+def q_search_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple query syntax end-to-end: bare term + prefix expansion
+    score, +must / -must_not filter — compiled onto the boolean WAND
+    kernel."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).search(SEARCH_Q, K))
+
+
 def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (Lucene facets analog): top langs among docs
     matching the flagship query terms (OR), counted per-segment inside
@@ -895,6 +915,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "score_explain": q_score_explain,            # NEW in r4 (Explanation)
     "topk_bm25_boolean": q_topk_bm25_boolean,    # NEW in r4 (BooleanQuery)
     "facet_lang": q_facet_lang,                  # NEW in r4 (facets)
+    "snippets": q_snippets,                      # NEW in r4 (highlighter)
+    "search_simple": q_search_simple,            # NEW in r4 (query syntax)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -979,6 +1001,10 @@ ORACLES: dict[str, str] = {
         Q_TOPK, K, BOOL_MUST, BOOL_MUST_NOT
     ),
     "facet_lang": oracles.facet_counts_sql(Q_TOPK, "lang", K, "or"),
+    "snippets": oracles.snippets_sql(SNIPPET_TERMS, SNIPPET_W),
+    "search_simple": oracles.bm25_topk_search_sql(
+        ["spark"], ["wi"], BOOL_MUST, BOOL_MUST_NOT, K
+    ),
     "topk_bm25_fuzzy": oracles.bm25_topk_fuzzy_sql(FUZZY_Q, FUZZY_EDITS, K),
     "topk_bm25_deleted": oracles.bm25_topk_deleted_sql(
         Q_TOPK, K, DEL_PRED_SQL
