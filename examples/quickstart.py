@@ -58,6 +58,16 @@ def main() -> None:
     print(eng.find_in_range(F.col("lang").isin("rs", "go")).count(),
           "rust/go docs")
 
+    print("== simple query syntax: bare + prefix + must/must_not ==")
+    eng.search("def re* +class -goto", 5).show(truncate=False)
+
+    print("== facets over a boolean match ==")
+    eng.facet_counts(["def", "return"], "lang", 10).show(truncate=False)
+
+    print("== score explanation (per-term BM25 breakdown) ==")
+    top1 = eng.find_topk(["def", "return"], 1).first()["doc_id"]
+    eng.explain_score(["def", "return"], top1).show(truncate=False)
+
     print("== resolve (doc store join) ==")
     eng.resolve(eng.find_topk(["class", "import"], 3)) \
         .select("doc_id", "score", "repo", "path", "lang").show(truncate=False)
