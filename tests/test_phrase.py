@@ -281,3 +281,22 @@ def test_vectorized_kernels_match_per_doc(docs_tokens, slop, terms):
     got_ph = _phrase_counts_vectorized(cand, per_term)
     want_ph = [brute_phrase(list(toks), terms) for toks, _ in cand_pos]
     assert got_ph.tolist() == want_ph
+
+
+def test_near_vectorized_chunking_equivalent(monkeypatch):
+    """The memory-bounding chunk loop changes nothing: forcing a 2-chain
+    chunk produces identical counts to one big expansion."""
+    import torchtrajectory_spark.operators.phrase as P
+
+    rng = np.random.default_rng(7)
+    cand = np.arange(6, dtype=np.int64)
+    per_term = [
+        [np.unique(rng.integers(0, 30, rng.integers(1, 8)))
+         .astype(np.int64) for _ in range(6)]
+        for _ in range(3)
+    ]
+    want = P._near_counts_vectorized(cand, per_term, 6)
+    monkeypatch.setattr(P, "_NEAR_CHUNK", 2)
+    got = P._near_counts_vectorized(cand, per_term, 6)
+    assert np.array_equal(want, got)
+    assert want.sum() > 0  # the fixture actually matches something

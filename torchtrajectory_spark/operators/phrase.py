@@ -222,6 +222,10 @@ def _gather_term_positions(
 # as rank * SHIFT + pos with room for ~2^39 candidate docs per segment.
 # Docs at or past that token count fall back to the per-doc kernels.
 _NEAR_SHIFT = np.int64(1) << 24
+# max in-flight chain entries per expansion chunk (int64 each): 8M
+# entries ~ 64 MB of keys+limits — bounds worker memory regardless of
+# slop or term hotness
+_NEAR_CHUNK = 8_000_000
 
 
 def _flat_keys(cand_size: int, pos_lists: list[np.ndarray]) -> np.ndarray:
@@ -247,25 +251,38 @@ def _near_counts_vectorized(cand: np.ndarray,
     count is bounded by |term0 positions| * lim^(n-2)."""
     n = len(per_term_pos)
     flats = [_flat_keys(cand.size, pl) for pl in per_term_pos]
-    pos = flats[0]
-    limit = pos + lim
-    for j in range(1, n - 1):
-        fj = flats[j]
-        lo = np.searchsorted(fj, pos, side="right")
-        hi = np.searchsorted(fj, limit, side="right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if total == 0:
-            return np.zeros(cand.size, dtype=np.int64)
-        offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-        idx = np.arange(total, dtype=np.int64) + np.repeat(lo - offs, cnt)
-        limit = np.repeat(limit, cnt)
-        pos = fj[idx]
-    fl = flats[-1]
-    c = (np.searchsorted(fl, limit, side="right")
-         - np.searchsorted(fl, pos, side="right"))
-    return np.bincount(pos // _NEAR_SHIFT, weights=c,
-                       minlength=cand.size).astype(np.int64)
+    k0 = flats[0]
+    out = np.zeros(cand.size, dtype=np.int64)
+    # chunk the start positions: intermediate chains multiply by up to
+    # lim per level (bounded memory even for huge slop x hot terms;
+    # n == 2 never expands, so one chunk covers it)
+    chunk = max(1, _NEAR_CHUNK // max(1, lim ** max(0, n - 2)))
+    for s in range(0, k0.size, chunk):
+        pos = k0[s:s + chunk]
+        limit = pos + lim
+        alive = True
+        for j in range(1, n - 1):
+            fj = flats[j]
+            lo = np.searchsorted(fj, pos, side="right")
+            hi = np.searchsorted(fj, limit, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                alive = False
+                break
+            offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            idx = (np.arange(total, dtype=np.int64)
+                   + np.repeat(lo - offs, cnt))
+            limit = np.repeat(limit, cnt)
+            pos = fj[idx]
+        if not alive:
+            continue
+        fl = flats[-1]
+        c = (np.searchsorted(fl, limit, side="right")
+             - np.searchsorted(fl, pos, side="right"))
+        out += np.bincount(pos // _NEAR_SHIFT, weights=c,
+                           minlength=cand.size).astype(np.int64)
+    return out
 
 
 def _phrase_counts_vectorized(cand: np.ndarray,
