@@ -342,3 +342,40 @@ def test_streamed_index_compacts_and_serves(spark, chunked_input, tmp_path):
     got = [tuple(r) for r in topk_bm25_index(spark, dst, q, 10).collect()]
     exp = [tuple(r) for r in topk_bm25_index(spark, src, q, 10).collect()]
     assert got == exp
+
+
+def test_streamed_index_serves_expansion_and_facets(spark, chunked_input,
+                                                    tmp_path):
+    """The r4 query families work over a STREAMED index: the prefix
+    expansion reads only committed segments' terms tables, and facets
+    cogroup the streamed doc_stats — both equal an Engine over the same
+    index opened cold."""
+    from torchtrajectory_spark.engine import Engine
+    from torchtrajectory_spark.operators.wand import (
+        expand_prefix,
+        topk_bm25_index,
+    )
+
+    root, docs = chunked_input
+    idx = str(tmp_path / "expidx")
+    stream_index_build(spark, os.path.join(root, "chunk0.*"), idx,
+                       DOCS_SCHEMA, meta_cols=("lang",), buckets=8)
+    eng = Engine.from_index(spark, idx)
+    exp = expand_prefix(spark, idx, "s")
+    assert exp  # fixture vocabulary has s-terms
+    got = eng.find_topk_prefix("s", 10).collect()
+    want = topk_bm25_index(spark, idx, sorted(exp), 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    facets = eng.facet_counts(["spark"], "lang", 10).collect()
+    sub = docs.where(F.col("doc_id") % 3 == 0)
+    toks = F.split(F.lower("text"), " ")
+    want_f = [
+        (r["lang"], r["n"]) for r in
+        sub.where(F.array_contains(toks, "spark"))
+        .groupBy("lang").agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("lang").asc()).limit(10)
+        .collect()
+    ]
+    assert [(r["value"], r["n_docs"]) for r in facets] == want_f

@@ -243,8 +243,13 @@ class Engine:
         for pat in [t for t in should if t.endswith("*")]:
             from .operators.wand import expand_prefix
 
-            bare.extend(expand_prefix(self.spark, self.index_dir,
-                                      pat[:-1], max_terms))
+            meta = self._expansion_meta(
+                ("prefix", pat[:-1], int(max_terms)),
+                lambda p=pat[:-1]: expand_prefix(self.spark,
+                                                 self.index_dir, p,
+                                                 max_terms),
+            )
+            bare.extend(meta.term_df)
         if not bare:
             raise ValueError(
                 f"query {query!r} has no scoring terms (bare or prefix)"
