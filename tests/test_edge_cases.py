@@ -249,3 +249,65 @@ def test_embedding_near_dup_keep_collapses_chains(spark):
                                              n_centroids=1).collect()}
     assert keep[0] == 0 and keep[1] == 0 and keep[2] == 0
     assert keep[3] == 3
+
+
+def test_expansion_degenerate_patterns(spark, weird_index):
+    """Wildcard-free patterns act as exact terms; edits=0 fuzzy is an
+    exact lookup; unicode terms expand; an all-star pattern expands to
+    the (capped) whole dictionary."""
+    from torchtrajectory_spark.operators.wand import (
+        expand_fuzzy,
+        expand_prefix,
+        expand_wildcard,
+        topk_bm25_index,
+        topk_bm25_index_wildcard,
+    )
+
+    assert sorted(expand_wildcard(spark, weird_index, "alpha")) == ["alpha"]
+    assert sorted(expand_fuzzy(spark, weird_index, "alpha",
+                               max_edits=0)) == ["alpha"]
+    assert "naïve" in expand_wildcard(spark, weird_index, "na*")
+    assert "名前" in expand_prefix(spark, weird_index, "名")
+    full_dict = expand_prefix(spark, weird_index, "", max_terms=10_000)
+    assert sorted(expand_wildcard(spark, weird_index, "*",
+                                  max_terms=10_000)) == sorted(full_dict)
+    capped = expand_wildcard(spark, weird_index, "*", max_terms=2)
+    assert len(capped) == 2
+    # exact-term wildcard scores identically to the plain single-term query
+    got = topk_bm25_index_wildcard(spark, weird_index, "beta", 5).collect()
+    want = topk_bm25_index(spark, weird_index, ["beta"], 5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_near_single_term_and_zero_width_snippet(spark, weird_corpus,
+                                                 weird_index):
+    from torchtrajectory_spark.operators.phrase import near_count_index
+    from torchtrajectory_spark.operators.snippet import snippets
+
+    # single-term proximity degenerates to tf
+    got = {r["doc_id"]: r["n_occ"]
+           for r in near_count_index(spark, weird_index,
+                                     ["beta"], 0, buckets=4).collect()}
+    assert got == {0: 2}
+    # width=0 snippet is exactly the first matched token
+    s = {r["doc_id"]: (r["pos"], r["snippet"])
+         for r in snippets(weird_corpus.fillna({"text": ""}),
+                           ["beta", "名前"], 0).collect()}
+    assert s == {0: (2, "beta"), 3: (3, "名前")}
+
+
+def test_boolean_clause_unknown_should_term(spark, weird_index):
+    """A should term absent from the corpus contributes idf(0) like the
+    plain multi-term path — present terms still rank."""
+    from torchtrajectory_spark.operators.wand import (
+        topk_bm25_index,
+        topk_bm25_index_boolean,
+    )
+
+    got = topk_bm25_index_boolean(
+        spark, weird_index, ["beta", "zzz_missing"], 5,
+    ).collect()
+    want = topk_bm25_index(spark, weird_index,
+                           ["beta", "zzz_missing"], 5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert got  # beta matches something

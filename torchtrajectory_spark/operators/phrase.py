@@ -250,6 +250,9 @@ def _near_counts_vectorized(cand: np.ndarray,
     this path answers both in well under a second of kernel time. Chain
     count is bounded by |term0 positions| * lim^(n-2)."""
     n = len(per_term_pos)
+    if n == 1:  # single-term proximity degenerates to tf
+        return np.fromiter((p.size for p in per_term_pos[0]),
+                           dtype=np.int64, count=cand.size)
     flats = [_flat_keys(cand.size, pl) for pl in per_term_pos]
     k0 = flats[0]
     out = np.zeros(cand.size, dtype=np.int64)
