@@ -140,3 +140,40 @@ def test_add_positional_index_carries_positions(spark, corpus,
                                 analyzer="code").collect())
     )
     assert via_index == direct
+
+
+def test_query_while_add_commits(spark, corpus, tmp_path_factory):
+    """Readers racing an in-place add see either the pre-add or the
+    post-add result — never a torn state. The appended segment becomes
+    visible only at the atomic manifest-marker rename."""
+    import threading
+
+    d = str(tmp_path_factory.mktemp("incrace"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    before = [(r["doc_id"], r["score"])
+              for r in topk_bm25_index(spark, d, Q, K).collect()]
+    err: list[Exception] = []
+
+    def do_add():
+        try:
+            add_documents(spark, d, corpus.where(F.col("doc_id") >= N_BASE),
+                          meta_cols=("repo", "lang"), n_segments=1)
+        except Exception as e:  # surface in the main thread
+            err.append(e)
+
+    t = threading.Thread(target=do_add)
+    t.start()
+    observed = set()
+    while t.is_alive():
+        rows = tuple((r["doc_id"], r["score"])
+                     for r in topk_bm25_index(spark, d, Q, K).collect())
+        observed.add(rows)
+    t.join()
+    assert not err, err
+    after = tuple((r["doc_id"], r["score"])
+                  for r in topk_bm25_index(spark, d, Q, K).collect())
+    allowed = {tuple(before), after}
+    assert observed <= allowed, (
+        f"torn read: {observed - allowed}"
+    )
+    assert tuple(before) in observed  # the race actually overlapped

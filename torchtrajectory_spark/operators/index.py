@@ -899,7 +899,15 @@ def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
     corpus (tested; same invariant as :func:`merge_indexes`). Caller
     guarantees new doc_ids are disjoint from the live index
     (``verify_disjoint=True`` checks, one aggregation). Returns the
-    number of segments appended."""
+    number of segments appended.
+
+    Atomicity: each appended segment commits atomically (readers see it
+    fully or not at all, pinned under true concurrency in
+    ``test_incremental``), but a multi-segment add is NOT atomic as a
+    batch — a crash mid-append leaves a prefix of the new segments
+    visible. The default ``n_segments=1`` makes the whole add one atomic
+    commit; for larger adds needing all-or-nothing, build a side index
+    and :func:`merge_indexes` into a fresh directory instead."""
     cfg = read_index_config(index_dir)
     tmp = os.path.normpath(index_dir) + ".__add_tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
