@@ -133,3 +133,60 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(
         fp_batches, schema="doc_id bigint, fp string"
     )
+
+
+def train_val_split(df: DataFrame, val_pct: int = 10,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/validation assignment — the split every
+    training-data pipeline needs, reproducible across engines and runs:
+    bucket = first 16 bits of sha256(doc_id as string) mod 100, 'val'
+    iff bucket < val_pct. No randomness, no state: the same doc lands in
+    the same split on any engine that can compute sha256 (the DuckDB
+    oracle computes the identical expression)."""
+    if not 0 <= int(val_pct) <= 100:
+        raise ValueError(f"val_pct out of range: {val_pct}")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256),
+                           1, 4), 16, 10).cast("bigint") % 100
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(bucket < int(val_pct), F.lit("val"))
+        .otherwise(F.lit("train")).alias("split"),
+    )
+
+
+def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    analyzer: str = "ws") -> DataFrame:
+    """Context-window chunking — split each doc into token windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens - overlap``:
+    (doc_id, chunk_id, chunk_text, n_tokens). Start positions are
+    0, step, 2*step, ... while < the doc's token count (trailing chunks
+    may be short); empty docs produce no chunks. Entirely built-in
+    Catalyst (sequence / posexplode-free transform + slice /
+    array_join) — one codegen'd scan, no Python, and chunk boundaries
+    are a pure function of the doc so the operation is embarrassingly
+    parallel at 10^12 files."""
+    c = int(chunk_tokens)
+    v = int(overlap)
+    if c <= 0 or not 0 <= v < c:
+        raise ValueError(f"bad chunking: chunk_tokens={c} overlap={v}")
+    step = c - v
+    tok = tokenized(df, id_col, text_col, analyzer).where(
+        F.size("tokens") > 0
+    )
+    starts = F.sequence(F.lit(0), F.size("tokens") - 1, F.lit(step))
+    return (
+        tok.select("doc_id", "tokens",
+                   F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / step).cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice("tokens", F.col("start") + 1, c), " "
+            ).alias("chunk_text"),
+            F.least(F.lit(c), F.size("tokens") - F.col("start"))
+            .cast("bigint").alias("n_tokens"),
+        )
+    )

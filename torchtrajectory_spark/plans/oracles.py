@@ -683,6 +683,43 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def train_val_split_sql(val_pct: int) -> str:
+    """Deterministic split oracle: identical sha256-prefix bucketing."""
+    return f"""
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 4))
+                 ::BIGINT % 100 < {int(val_pct)}
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+""".strip()
+
+
+def chunk_documents_sql(chunk_tokens: int, overlap: int,
+                        doc_where: str = "") -> str:
+    """Context-window chunking oracle: same start grid (0, step, ...),
+    inclusive 1-based slice, short trailing chunks kept."""
+    c = int(chunk_tokens)
+    step = c - int(overlap)
+    where = f"WHERE {doc_where}" if doc_where else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents {where}
+),
+ch AS (
+  SELECT doc_id, t,
+         unnest(range(0, len(t), {step})) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id,
+       CAST(s / {step} AS BIGINT) AS chunk_id,
+       array_to_string(t[s + 1:s + {c}], ' ') AS chunk_text,
+       CAST(least({c}, len(t) - s) AS BIGINT) AS n_tokens
+FROM ch
+""".strip()
+
+
 def snippets_sql(terms: list[str], width: int) -> str:
     """Snippet oracle: window of ``width`` tokens each side of the FIRST
     occurrence of any query term (1-based), space-joined — the exact

@@ -207,6 +207,29 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
 
 
+VAL_PCT = 10
+CHUNK_C, CHUNK_V = 100, 10
+CHUNK_WHERE = "lang = 'fr'"  # bound the chunk result set
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sha256-bucket train/val assignment (pipeline op)."""
+    from ..operators.textstats import train_val_split
+
+    return train_val_split(_docs(spark, sf_dir), VAL_PCT)
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking with overlap over the fr-language slice
+    — one codegen'd scan, chunk boundaries a pure per-doc function."""
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir).where(F.col("lang") == "fr"),
+        CHUNK_C, CHUNK_V,
+    )
+
+
 SNIPPET_TERMS, SNIPPET_W = ["dup"], 5   # rare term: small result set
 SEARCH_Q = "spark wi* +batch -slow"     # bare + prefix + must + must_not
 
@@ -917,6 +940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_lang": q_facet_lang,                  # NEW in r4 (facets)
     "snippets": q_snippets,                      # NEW in r4 (highlighter)
     "search_simple": q_search_simple,            # NEW in r4 (query syntax)
+    "train_val_split": q_train_val_split,        # NEW in r4 (pipeline)
+    "chunk_docs": q_chunk_docs,                  # NEW in r4 (pipeline)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -1002,6 +1027,9 @@ ORACLES: dict[str, str] = {
     ),
     "facet_lang": oracles.facet_counts_sql(Q_TOPK, "lang", K, "or"),
     "snippets": oracles.snippets_sql(SNIPPET_TERMS, SNIPPET_W),
+    "train_val_split": oracles.train_val_split_sql(VAL_PCT),
+    "chunk_docs": oracles.chunk_documents_sql(CHUNK_C, CHUNK_V,
+                                              CHUNK_WHERE),
     "search_simple": oracles.bm25_topk_search_sql(
         ["spark"], ["wi"], BOOL_MUST, BOOL_MUST_NOT, K
     ),
