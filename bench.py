@@ -323,6 +323,7 @@ def main() -> None:
     # (build throughput is the separate headline above)
     from torchtrajectory_spark.plans.queries import (
         ensure_centroids,
+        ensure_chunk_index,
         ensure_compacted_index,
         ensure_deleted_index,
         ensure_index,
@@ -333,6 +334,7 @@ def main() -> None:
     ensure_index(spark, SF_DIR)
     ensure_index(spark, SF_DIR, with_positions=True)
     ensure_compacted_index(spark, SF_DIR)
+    ensure_chunk_index(spark, SF_DIR)
     # tombstoned + purged fixture copies: delete/compaction are index
     # MAINTENANCE (measured r4: 6.4 s first-touch inside the purged-query
     # row, pure setup) — the queries should time the masked/purged scan

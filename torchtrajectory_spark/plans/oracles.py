@@ -623,13 +623,16 @@ FROM e
 
 
 def _bm25_topk_core(term_pred: str, k: int, k1: float, b: float,
-                    doc_where: str = "", result_where: str = "") -> str:
-    """Shared BM25 top-k skeleton with three seams: ``term_pred`` selects
+                    doc_where: str = "", result_where: str = "",
+                    corpus: str = "documents") -> str:
+    """Shared BM25 top-k skeleton with four seams: ``term_pred`` selects
     the scoring terms (IN list / starts_with), ``doc_where`` restricts
-    the corpus BEFORE statistics (purged-delete semantics), and
+    the corpus BEFORE statistics (purged-delete semantics),
     ``result_where`` restricts only the RANKING (masked-delete semantics
-    — statistics still count the excluded docs, Lucene-parity)."""
-    tok_src = "documents" + (f" WHERE {doc_where}" if doc_where else "")
+    — statistics still count the excluded docs, Lucene-parity), and
+    ``corpus`` swaps the (doc_id, text) source (e.g. a chunked derived
+    table)."""
+    tok_src = corpus + (f" WHERE {doc_where}" if doc_where else "")
     rw = f"WHERE {result_where}\n" if result_where else ""
     return f"""
 WITH tok AS (
@@ -718,6 +721,39 @@ SELECT doc_id,
        CAST(least({c}, len(t) - s) AS BIGINT) AS n_tokens
 FROM ch
 """.strip()
+
+
+def chunk_corpus_subquery(chunk_tokens: int, overlap: int,
+                          uid_mul: int) -> str:
+    """Derived (doc_id, text) table of chunk windows — the chunked
+    corpus a RAG index serves; chunk uid = doc_id * uid_mul + chunk_id
+    (same composite id as the Spark side)."""
+    c = int(chunk_tokens)
+    step = c - int(overlap)
+    return f"""(
+  SELECT doc_id * {int(uid_mul)} + CAST(s / {step} AS BIGINT) AS doc_id,
+         array_to_string(t[s + 1:s + {c}], ' ') AS text
+  FROM (
+    SELECT doc_id, t, unnest(range(0, len(t), {step})) AS s
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      FROM documents
+    ) WHERE len(t) > 0
+  )
+)""".strip()
+
+
+def bm25_topk_chunks_sql(terms: list[str], k: int, chunk_tokens: int,
+                         overlap: int, uid_mul: int,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Top-k BM25 over the CHUNKED corpus (retrieval-over-chunks, the
+    RAG shape): statistics and ranking both live at chunk granularity."""
+    tl = _terms_list(sorted(set(terms)))
+    return _bm25_topk_core(
+        f"term IN ({tl})", k, k1, b,
+        corpus=chunk_corpus_subquery(chunk_tokens, overlap, uid_mul),
+    )
 
 
 def snippets_sql(terms: list[str], width: int) -> str:

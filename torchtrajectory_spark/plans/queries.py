@@ -99,6 +99,58 @@ def ensure_index(spark: SparkSession, sf_dir: str,
     return index_dir
 
 
+CHUNK_UID_MUL = 10_000  # chunk uid = doc_id * MUL + chunk_id
+
+
+def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) an index over the CHUNKED corpus — the RAG
+    retrieval shape: chunk_documents output becomes the indexed corpus,
+    with a composite chunk uid as the doc id."""
+    from ..config import INDEX_FORMAT_VERSION
+    from ..operators.index import read_index_config
+    from ..operators.textstats import chunk_documents
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = os.path.join(tempfile.gettempdir(), f"tts_chunkidx_{tag}")
+    marker = os.path.join(index_dir, "manifest")
+    need = not (
+        os.path.isdir(marker)
+        and os.path.isdir(os.path.join(index_dir, "terms"))
+        and len([d for d in os.listdir(marker) if d.startswith("segment=")])
+        >= _INDEX_SEGMENTS
+    )
+    if not need:
+        try:
+            cfg = read_index_config(index_dir)
+        except Exception:
+            cfg = {}
+        if cfg.get("format_version") != INDEX_FORMAT_VERSION:
+            shutil.rmtree(index_dir, ignore_errors=True)
+            need = True
+    if need:
+        chunks = chunk_documents(
+            _docs(spark, sf_dir), CHUNK_C, CHUNK_V
+        ).select(
+            (F.col("doc_id") * CHUNK_UID_MUL + F.col("chunk_id"))
+            .alias("doc_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        build_index(
+            spark, chunks, index_dir,
+            id_col="doc_id", text_col="text", analyzer="ws",
+            n_segments=_INDEX_SEGMENTS, buckets=_INDEX_BUCKETS,
+        )
+    return index_dir
+
+
+def q_topk_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over chunks (RAG shape): BM25 top-k where the indexed
+    unit is a context-window chunk — statistics and ranking at chunk
+    granularity, chunk uid decodes back to (doc, window)."""
+    idx = ensure_chunk_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
+
+
 def ensure_compacted_index(spark: SparkSession, sf_dir: str) -> str:
     """Compact the test index into one segment (LSM maintenance path);
     queries against it must be indistinguishable from the original."""
@@ -942,6 +994,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_simple": q_search_simple,            # NEW in r4 (query syntax)
     "train_val_split": q_train_val_split,        # NEW in r4 (pipeline)
     "chunk_docs": q_chunk_docs,                  # NEW in r4 (pipeline)
+    "topk_chunks": q_topk_chunks,                # NEW in r4 (RAG shape)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -1030,6 +1083,9 @@ ORACLES: dict[str, str] = {
     "train_val_split": oracles.train_val_split_sql(VAL_PCT),
     "chunk_docs": oracles.chunk_documents_sql(CHUNK_C, CHUNK_V,
                                               CHUNK_WHERE),
+    "topk_chunks": oracles.bm25_topk_chunks_sql(
+        Q_TOPK, K, CHUNK_C, CHUNK_V, CHUNK_UID_MUL
+    ),
     "search_simple": oracles.bm25_topk_search_sql(
         ["spark"], ["wi"], BOOL_MUST, BOOL_MUST_NOT, K
     ),
