@@ -407,3 +407,10 @@ def test_snippets_window_semantics(spark, engine):
             lo, hi = max(1, pos - w), min(len(toks), pos + w)
             expected[doc_id] = (pos, " ".join(toks[lo - 1:hi]))
     assert got == expected and got
+
+
+def test_search_rejects_wildcard_filter_clauses(spark, engine):
+    eng, _ = engine
+    for q in ("spark +jo*", "spark -jo*"):
+        with pytest.raises(ValueError, match="filter clause"):
+            eng.search(q, 5)

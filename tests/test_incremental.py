@@ -94,11 +94,36 @@ def test_add_preserves_tombstones(spark, corpus, tmp_path_factory):
 
 def test_add_verify_disjoint_raises_on_overlap(spark, corpus,
                                                tmp_path_factory):
+    """The disjointness check fires BEFORE anything is appended: the
+    live index is byte-for-byte query-identical after the raise."""
     d = str(tmp_path_factory.mktemp("incdup"))
     _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    before = [tuple(r) for r in topk_bm25_index(spark, d, Q, K).collect()]
     with pytest.raises(ValueError, match="share doc_ids"):
         add_documents(spark, d, corpus.where(F.col("doc_id") < 10),
                       meta_cols=("repo", "lang"), verify_disjoint=True)
+    assert read_index_config(d)["n_segments"] == 2  # config untouched
+    assert read_manifest(spark, d).count() == 2
+    after = [tuple(r) for r in topk_bm25_index(spark, d, Q, K).collect()]
+    assert after == before
+
+
+def test_add_meta_cols_default_and_mismatch(spark, corpus,
+                                            tmp_path_factory):
+    """meta_cols defaults to the live index's recorded schema; an
+    explicit mismatch raises instead of committing mixed doc_stats."""
+    d = str(tmp_path_factory.mktemp("incmeta"))
+    _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
+    with pytest.raises(ValueError, match="meta_cols"):
+        add_documents(spark, d, corpus.where(F.col("doc_id") >= N_BASE),
+                      meta_cols=("lang",))
+    # omitted -> inherited from config; the facet column stays queryable
+    add_documents(spark, d, corpus.where(F.col("doc_id") >= N_BASE))
+    from torchtrajectory_spark.operators.boolean import facet_counts
+
+    rows = facet_counts(spark, d, ["def"], "lang", 10,
+                        buckets=BUCKETS).collect()
+    assert rows and sum(r["n_docs"] for r in rows) > 0
 
 
 def test_engine_add_invalidates_statistic_memos(spark, corpus, union_build,

@@ -239,6 +239,15 @@ class Engine:
             eng.search("spark jo* +batch -slow", k=10)
         """
         should, must, must_not = parse_simple_query(query)
+        for t in (*must, *must_not):
+            if "*" in t:
+                # a wildcard filter clause would intersect with a term
+                # that (almost) never exists — reject loudly rather than
+                # silently return 0 rows
+                raise ValueError(
+                    f"wildcard in filter clause {t!r}: expansion is "
+                    "supported for scoring (bare) terms only"
+                )
         bare = [t for t in should if not t.endswith("*")]
         for pat in [t for t in should if t.endswith("*")]:
             from .operators.wand import expand_prefix
@@ -281,7 +290,7 @@ class Engine:
         )
 
     def add_documents(self, corpus: DataFrame,
-                      meta_cols: tuple[str, ...] = (),
+                      meta_cols: tuple[str, ...] | None = None,
                       n_segments: int = 1,
                       verify_disjoint: bool = False) -> int:
         """Incremental batch ingest into the opened index

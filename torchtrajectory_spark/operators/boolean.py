@@ -83,10 +83,9 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
     a decode-explode stage plus a corpus-keyed shuffle for the same
     answer. Salted sub-lists of a hot term union naturally (np.unique).
     """
-    import numpy as np
+    import numpy as np  # noqa: F401 (sorted_isin operands)
     import pandas as pd
 
-    from ..functions import codec
     from .index import sorted_isin, tombstone_ids
     from .wand import _q_blocks
 
@@ -98,23 +97,9 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
     dead = tombstone_ids(index_dir)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_term = []
-        for _term, grp in pdf.groupby("term"):
-            arrs = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
-            per_term.append(np.unique(np.concatenate(arrs)))
-        if not per_term:
+        out = decode_match_docs(pdf, mode, nq)
+        if out is None:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-        if mode == "or":
-            out = np.unique(np.concatenate(per_term))
-        else:
-            if len(per_term) < nq:
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64")})
-            per_term.sort(key=len)
-            out = per_term[0]
-            for arr in per_term[1:]:
-                out = np.intersect1d(out, arr, assume_unique=True)
-                if out.size == 0:
-                    break
         if dead is not None and out.size:
             out = out[~sorted_isin(dead, out)]  # tombstone mask
         return pd.DataFrame({"doc_id": out})
@@ -122,6 +107,37 @@ def _bool_index_blocks(spark, index_dir: str, query_terms: list[str],
     return blocks.groupBy("segment").applyInPandas(
         run, schema="doc_id bigint"
     )
+
+
+def decode_match_docs(pdf, mode: str, nq: int):
+    """SHARED per-segment boolean kernel: decode each term's docID
+    streams from its compressed blocks (salted sub-lists of a hot term
+    union via np.unique), then union (``or``) / smallest-first intersect
+    (``and``) across terms. Returns a sorted unique ndarray, or None
+    when an ``and`` term has no blocks in this segment (segments are
+    doc-disjoint, so absence is final). The single implementation behind
+    ``_bool_index_blocks``, ``facet_counts``, and the must/must_not
+    clause sets of ``wand.topk_bm25_index_boolean`` — a codec or salting
+    change lands in one place."""
+    import numpy as np
+
+    from ..functions import codec
+
+    per_term = []
+    for _term, grp in pdf.groupby("term"):
+        arrs = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
+        per_term.append(np.unique(np.concatenate(arrs)))
+    if not per_term or (mode == "and" and len(per_term) < nq):
+        return None
+    if mode == "or":
+        return np.unique(np.concatenate(per_term))
+    per_term.sort(key=len)
+    out = per_term[0]
+    for arr in per_term[1:]:
+        out = np.intersect1d(out, arr, assume_unique=True)
+        if out.size == 0:
+            break
+    return out
 
 
 def bool_or_index_blocks(spark, index_dir: str, query_terms: list[str],
@@ -153,7 +169,6 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
     import numpy as np
     import pandas as pd
 
-    from ..functions import codec
     from .index import read_doc_stats, sorted_isin, tombstone_ids
     from .wand import _q_blocks
 
@@ -172,19 +187,9 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
     def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"value": pd.Series(dtype="object"),
                               "cnt": pd.Series(dtype="int64")})
-        per_term = []
-        for _t, grp in blk.groupby("term"):
-            arrs = [codec.decode_sorted(g) for g in grp["doc_gaps"]]
-            per_term.append(np.unique(np.concatenate(arrs)))
-        if not per_term or (mode == "and" and len(per_term) < nq):
+        match = decode_match_docs(blk, mode, nq)
+        if match is None:
             return empty
-        if mode == "or":
-            match = np.unique(np.concatenate(per_term))
-        else:
-            per_term.sort(key=len)
-            match = per_term[0]
-            for arr in per_term[1:]:
-                match = np.intersect1d(arr, match, assume_unique=True)
         if dead is not None and match.size:
             match = match[~sorted_isin(dead, match)]
         if match.size == 0 or not len(st):

@@ -501,6 +501,7 @@ def build_index(
         "buckets": buckets, "n_segments": n_segments,
         "block_size": block_size, "analyzer": analyzer,
         "id_col": id_col, "text_col": text_col,
+        "meta_cols": list(meta_cols),
         "with_positions": with_positions, "table_format": table_format,
         "format_version": INDEX_FORMAT_VERSION,
     })
@@ -850,7 +851,13 @@ def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
                                    (src.terms, dst.terms)):
             seg_src = src.seg(base_src, s)
             if os.path.isdir(seg_src):  # zero-posting segments may
-                shutil.copytree(seg_src, dst.seg(base_dst, new))
+                seg_dst = dst.seg(base_dst, new)
+                # a crashed prior attempt may have left UNCOMMITTED data
+                # dirs here (no manifest marker — invisible to readers);
+                # clobber them so a retry is not bricked by FileExists
+                if os.path.isdir(seg_dst):
+                    shutil.rmtree(seg_dst)
+                shutil.copytree(seg_src, seg_dst)
         # manifest row embeds the segment id -> rewrite it, then
         # commit marker-last with the same atomic rename as a build
         t = pq.read_table(src.seg(src.manifest, s))
@@ -863,6 +870,12 @@ def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
         os.replace(tmp, dst.seg(dst.manifest, new))
+        # the marker just made this segment visible: drop cached plans
+        # IMMEDIATELY so an in-process reader that sees the new manifest
+        # row also replans postings/terms over the new directory (the
+        # old ordering invalidated once at the end, leaving a window of
+        # new-statistics-over-stale-plan reads)
+        invalidate_index_cache(dst.root)
         new += 1
     return new - start_seg
 
@@ -881,7 +894,8 @@ def _raise_on_duplicate_docs(spark: SparkSession, index_dir: str,
 
 
 def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
-                  meta_cols: tuple[str, ...] = (), n_segments: int = 1,
+                  meta_cols: tuple[str, ...] | None = None,
+                  n_segments: int = 1,
                   verify_disjoint: bool = False) -> int:
     """In-place incremental batch ingest (Lucene ``IndexWriter.addDocuments``
     analog; the reference index is write-once, ``InvertedIndex.java:49-136``):
@@ -897,9 +911,12 @@ def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
     aggregates the query path computes across segments, so queries after
     the add are rank- AND score-identical to a fresh build over the union
     corpus (tested; same invariant as :func:`merge_indexes`). Caller
-    guarantees new doc_ids are disjoint from the live index
-    (``verify_disjoint=True`` checks, one aggregation). Returns the
-    number of segments appended.
+    guarantees new doc_ids are disjoint from the live index;
+    ``verify_disjoint=True`` checks BEFORE anything is appended (one
+    join over the temp build's doc_stats), so a violation leaves the
+    live index untouched. ``meta_cols`` defaults to the live index's
+    recorded schema; an explicit mismatch raises. Returns the number of
+    segments appended.
 
     Atomicity: each appended segment commits atomically (readers see it
     fully or not at all, pinned under true concurrency in
@@ -909,6 +926,16 @@ def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
     commit; for larger adds needing all-or-nothing, build a side index
     and :func:`merge_indexes` into a fresh directory instead."""
     cfg = read_index_config(index_dir)
+    if meta_cols is None:
+        # default to the live index's schema — an append with DIFFERENT
+        # doc_stats columns would leave segments with mixed schemas
+        meta_cols = tuple(cfg.get("meta_cols", ()))
+    elif "meta_cols" in cfg and tuple(meta_cols) != tuple(cfg["meta_cols"]):
+        raise ValueError(
+            f"add_documents: meta_cols {tuple(meta_cols)!r} != the live "
+            f"index's {tuple(cfg['meta_cols'])!r} — appended doc_stats "
+            "segments must match the live schema"
+        )
     tmp = os.path.normpath(index_dir) + ".__add_tmp__"
     shutil.rmtree(tmp, ignore_errors=True)
     try:
@@ -922,13 +949,28 @@ def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
             table_format=cfg.get("table_format", "parquet"),
             resume=False,
         )
+        if verify_disjoint:
+            # check BEFORE re-homing: raising after the commit would
+            # leave the live index permanently carrying duplicate ids
+            overlap = (
+                read_doc_stats(spark, tmp).select("doc_id")
+                .join(read_doc_stats(spark, index_dir).select("doc_id"),
+                      "doc_id")
+            )
+            first = overlap.first()
+            if first is not None:
+                raise ValueError(
+                    "add_documents: sources share doc_ids (first "
+                    f"duplicate: {first['doc_id']}) — doc spaces must "
+                    "be disjoint; nothing was appended"
+                )
         dst = IndexPaths(index_dir)
         start = max(_done_segments(spark, dst), default=-1) + 1
         added = _rehome_segments(spark, tmp, dst, start)
-        _write_index_config(index_dir, {**cfg, "n_segments": start + added})
+        _write_index_config(index_dir, {**cfg,
+                                        "meta_cols": list(meta_cols),
+                                        "n_segments": start + added})
         invalidate_index_cache(index_dir)
-        if verify_disjoint:
-            _raise_on_duplicate_docs(spark, index_dir, "add_documents")
         return added
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1003,8 +1045,15 @@ def _write_index_config(index_dir: str, cfg: dict) -> None:
     import json
 
     os.makedirs(index_dir, exist_ok=True)
-    with open(os.path.join(index_dir, "index_config.json"), "w") as f:
+    # write-then-rename: in-place maintenance (add_documents) rewrites
+    # the config of a LIVE index — a concurrent reader must never see a
+    # truncated/partial file (same atomic-rename discipline as segment
+    # commits)
+    path = os.path.join(index_dir, "index_config.json")
+    tmp = path + ".__tmp__"
+    with open(tmp, "w") as f:
         json.dump(cfg, f)
+    os.replace(tmp, path)
 
 
 def read_index_config(index_dir: str) -> dict:
@@ -1228,7 +1277,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
     raise RuntimeError(f"delete_docs: could not commit a generation under {base}")
 
 
-_TOMBSTONE_CACHE: dict[tuple, np.ndarray] = {}
+# keyed by index path; holds (generation set, ids) — ONE entry per
+# index, so a long-lived driver issuing many deletes replaces rather
+# than accumulates (each delete creates a new generation set; caching
+# per (path, gens) pinned every superseded array forever)
+_TOMBSTONE_CACHE: dict[str, tuple[tuple, np.ndarray]] = {}
 
 
 def tombstone_ids(index_dir: str) -> np.ndarray | None:
@@ -1240,8 +1293,9 @@ def tombstone_ids(index_dir: str) -> np.ndarray | None:
     gens = _tombstone_gens(index_dir)
     if not gens:
         return None
-    key = (os.path.abspath(index_dir), gens)
-    arr = _TOMBSTONE_CACHE.get(key)
+    key = os.path.abspath(index_dir)
+    hit = _TOMBSTONE_CACHE.get(key)
+    arr = hit[1] if hit is not None and hit[0] == gens else None
     if arr is None:
         import pyarrow.parquet as pq
 
@@ -1258,7 +1312,7 @@ def tombstone_ids(index_dir: str) -> np.ndarray | None:
                     )
         arr = (np.unique(np.concatenate(parts)).astype(np.int64)
                if parts else np.empty(0, dtype=np.int64))
-        _TOMBSTONE_CACHE[key] = arr
+        _TOMBSTONE_CACHE[key] = (gens, arr)
     return arr if arr.size else None
 
 

@@ -222,7 +222,7 @@ def _cell_max_dist(lat_c: float, lng_c: float, r: int, c: int) -> float:
 
 
 def knn_points(points: DataFrame, lat_c: float, lng_c: float,
-               k: int) -> DataFrame:
+               k: int, use_cell_col: bool = True) -> DataFrame:
     """k nearest points to a center — J5's INCREMENTAL RING EXPANSION
     (``VertexGridIndex.incrementallyFind:338-393``): grow Chebyshev rings
     of grid cells around the center cell until >= k candidates are
@@ -246,12 +246,19 @@ def knn_points(points: DataFrame, lat_c: float, lng_c: float,
     ``cell`` column is used as-is, so the final-cells ``isin`` predicate
     becomes a PartitionFilter and job 2 reads only the selected cells'
     files (demonstrated in tests/test_geo_traj.py + EXPLAIN.md).
+
+    CONTRACT: a pre-existing ``cell`` column must have been computed
+    with this module's grid (``tile_id`` over GRID_LAT0/GRID_LNG0/
+    GRID_CELL_DEG/GRID_COLS — i.e. written by ``grid_cells``/this
+    pipeline); the ring geometry assumes it, and a foreign grid would
+    silently mislocate candidates. Pass ``use_cell_col=False`` to ignore
+    an unrelated column of that name and recompute.
     """
     import math
 
     from ..functions.geo import tile_id
 
-    if "cell" in points.columns:
+    if use_cell_col and "cell" in points.columns:
         pts = points  # pre-gridded (e.g. cell-partitioned table) layout
     else:
         pts = points.withColumn(

@@ -567,34 +567,25 @@ def topk_bm25_index_boolean(
     dead = tombstone_ids(index_dir)
     n_must = len(sm)
 
-    def _docs_union(grp: pd.DataFrame) -> np.ndarray:
-        return np.unique(np.concatenate(
-            [codec.decode_sorted(g) for g in grp["doc_gaps"]]
-        ))
-
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .boolean import decode_match_docs
+
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "score": pd.Series(dtype="float64")})
         allowed = None
         if sm:
-            per_term = [
-                _docs_union(grp)
-                for t, grp in pdf[pdf["term"].isin(sm)].groupby("term")
-            ]
-            if len(per_term) < n_must:
-                return empty  # a must term absent from this segment
-            per_term.sort(key=len)
-            allowed = per_term[0]
-            for arr in per_term[1:]:
-                allowed = np.intersect1d(arr, allowed, assume_unique=True)
-            if allowed.size == 0:
-                return empty
+            allowed = decode_match_docs(
+                pdf[pdf["term"].isin(sm)], "and", n_must
+            )
+            if allowed is None or allowed.size == 0:
+                return empty  # a must term absent / nothing matches all
         blocked = dead
         neg = pdf[pdf["term"].isin(sn)]
         if len(neg):
-            banned = _docs_union(neg)
-            blocked = (banned if blocked is None
-                       else np.union1d(blocked, banned))
+            banned = decode_match_docs(neg, "or", len(sn))
+            if banned is not None:
+                blocked = (banned if blocked is None
+                           else np.union1d(blocked, banned))
         return _segment_topk(
             pdf[pdf["term"].isin(sq)].drop(columns=["segment"]),
             sq, k, meta, k1, b, allowed=allowed, blocked=blocked,
