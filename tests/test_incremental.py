@@ -170,14 +170,34 @@ def test_add_positional_index_carries_positions(spark, corpus,
 def test_query_while_add_commits(spark, corpus, tmp_path_factory):
     """Readers racing an in-place add see either the pre-add or the
     post-add result — never a torn state. The appended segment becomes
-    visible only at the atomic manifest-marker rename."""
+    visible only at the atomic manifest-marker rename.
+
+    The overlap is DETERMINISTIC, not timing-hoped (the r4 flaky-suite
+    fix): a commit gate in ``_rehome_segments`` parks the writer at the
+    most dangerous instant — new postings/doc_stats/terms fully copied
+    into the live directory tree, manifest marker staged at
+    ``segment=<n>.__tmp__`` but not renamed — while the reader queries.
+    Any manifest reader that globs/startswith-matches the staged marker
+    (the r4 race) would crash or return torn statistics right here."""
     import threading
+
+    from torchtrajectory_spark.operators import index as index_mod
 
     d = str(tmp_path_factory.mktemp("incrace"))
     _build(spark, corpus.where(F.col("doc_id") < N_BASE), d)
-    before = [(r["doc_id"], r["score"])
-              for r in topk_bm25_index(spark, d, Q, K).collect()]
+
+    def q() -> tuple:
+        return tuple((r["doc_id"], r["score"])
+                     for r in topk_bm25_index(spark, d, Q, K).collect())
+
+    before = q()
     err: list[Exception] = []
+    writer_parked = threading.Event()
+    release_commit = threading.Event()
+
+    def hook(seg: int) -> None:
+        writer_parked.set()
+        assert release_commit.wait(timeout=300), "reader never released"
 
     def do_add():
         try:
@@ -185,20 +205,30 @@ def test_query_while_add_commits(spark, corpus, tmp_path_factory):
                           meta_cols=("repo", "lang"), n_segments=1)
         except Exception as e:  # surface in the main thread
             err.append(e)
+            release_commit.set()  # don't deadlock the join below
 
-    t = threading.Thread(target=do_add)
-    t.start()
-    observed = set()
-    while t.is_alive():
-        rows = tuple((r["doc_id"], r["score"])
-                     for r in topk_bm25_index(spark, d, Q, K).collect())
-        observed.add(rows)
-    t.join()
+    index_mod._PRE_COMMIT_HOOK = hook
+    try:
+        t = threading.Thread(target=do_add)
+        t.start()
+        assert writer_parked.wait(timeout=600), (err or "writer never "
+                                                 "reached the commit point")
+        if not err:
+            # writer is HELD mid-commit: the reader must see exactly the
+            # pre-add result, repeatedly (covers cached and cold plans)
+            index_mod.invalidate_index_cache(d)
+            for _ in range(3):
+                assert q() == before, "torn read while marker staged"
+        release_commit.set()
+        t.join(timeout=600)
+        assert not t.is_alive(), "add thread hung after release"
+    finally:
+        index_mod._PRE_COMMIT_HOOK = None
+        release_commit.set()
     assert not err, err
-    after = tuple((r["doc_id"], r["score"])
-                  for r in topk_bm25_index(spark, d, Q, K).collect())
-    allowed = {tuple(before), after}
-    assert observed <= allowed, (
-        f"torn read: {observed - allowed}"
-    )
-    assert tuple(before) in observed  # the race actually overlapped
+    after = q()
+    assert after != before  # the add is visible after the marker rename
+    # and score-identity with a fresh union build is pinned by
+    # test_add_documents_matches_fresh_build; here we just sanity-check
+    # the post-add read is a valid superset-corpus result
+    assert len(after) == K

@@ -266,7 +266,7 @@ def test_query_while_stream_commits(spark, tmp_path):
             return 0  # manifest dir not created yet
 
     try:
-        deadline = time.monotonic() + 120  # generous: host is shared
+        deadline = time.monotonic() + 180  # generous: host is shared
         while committed_docs() == 0 and time.monotonic() < deadline:
             time.sleep(0.5)
         assert committed_docs() > 0, "stream never committed a segment"
@@ -274,6 +274,11 @@ def test_query_while_stream_commits(spark, tmp_path):
         first = committed_docs()
         checks = 0
         grew = False
+        # fresh budget for the check phase: a slow first commit on a
+        # contended host must not eat the growth-observation window
+        # (this exact coupling made the test flake 1-in-N under a loaded
+        # full-suite run)
+        deadline = time.monotonic() + 180
         while time.monotonic() < deadline and (checks < 5 or not grew):
             before = committed_docs()
             ds_n = read_doc_stats(spark, idx).count()

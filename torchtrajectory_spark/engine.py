@@ -240,13 +240,26 @@ class Engine:
         """
         should, must, must_not = parse_simple_query(query)
         for t in (*must, *must_not):
-            if "*" in t:
+            if "*" in t or "?" in t:
                 # a wildcard filter clause would intersect with a term
                 # that (almost) never exists — reject loudly rather than
                 # silently return 0 rows
                 raise ValueError(
                     f"wildcard in filter clause {t!r}: expansion is "
                     "supported for scoring (bare) terms only"
+                )
+        for t in should:
+            # the only pattern position this syntax supports is ONE
+            # trailing '*' (prefix). 'sp?rk' / 'sp*rk' scored as literal
+            # terms would silently match (almost) nothing — reject loudly
+            # and point at expand_wildcard, mirroring the filter-clause
+            # rejection above (ADVICE r4).
+            if "?" in t or "*" in t[:-1]:
+                raise ValueError(
+                    f"unsupported pattern {t!r}: simple syntax allows "
+                    "only a trailing '*' prefix pattern — use "
+                    "Engine.find_topk_wildcard / expand_wildcard for "
+                    "mid-term '*' or '?' patterns"
                 )
         bare = [t for t in should if not t.endswith("*")]
         for pat in [t for t in should if t.endswith("*")]:

@@ -204,6 +204,9 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
     ).applyInPandas(run, schema="value string, cnt bigint")
     return (
         per_seg.groupBy("value").agg(F.sum("cnt").alias("n_docs"))
-        .orderBy(F.col("n_docs").desc(), F.col("value").asc())
+        # asc_nulls_last: Spark default sorts NULL FIRST in ASC while
+        # DuckDB sorts NULLS LAST — a NULL facet group tying at the k
+        # boundary must resolve identically on both sides (ADVICE r4)
+        .orderBy(F.col("n_docs").desc(), F.col("value").asc_nulls_last())
         .limit(int(k))
     )

@@ -36,6 +36,7 @@ driver, and the only global state is the tiny (N, avgdl) scalar pair.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import time
 import zlib
@@ -831,6 +832,10 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
                         os.path.join(paths.manifest, "segment=0"))
 
 
+# test-only commit gate (see _rehome_segments); None in production
+_PRE_COMMIT_HOOK = None
+
+
 def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
                      start_seg: int) -> int:
     """Copy one source index's committed segments into ``dst`` under
@@ -846,6 +851,18 @@ def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
     src = IndexPaths(src_dir)
     new = start_seg
     for s in sorted(_done_segments(spark, src)):
+        # COMMITTED destination segments are sacrosanct: clobbering one
+        # would destroy live postings and fail only later at the manifest
+        # rename, leaving metadata pointing at foreign data. Only
+        # UNCOMMITTED leftovers (data dirs with no manifest marker — a
+        # crashed prior attempt, invisible to readers) may be cleared.
+        if os.path.isdir(dst.seg(dst.manifest, new)):
+            raise FileExistsError(
+                f"_rehome_segments: destination already has a COMMITTED "
+                f"segment {new} under {dst.root!r} — refusing to clobber. "
+                "Concurrent writers must serialize (add_documents takes a "
+                "write lock); merge_indexes requires an empty destination."
+            )
         for base_src, base_dst in ((src.postings, dst.postings),
                                    (src.doc_stats, dst.doc_stats),
                                    (src.terms, dst.terms)):
@@ -869,6 +886,12 @@ def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+        if _PRE_COMMIT_HOOK is not None:
+            # test seam: lets a concurrency test HOLD the commit here —
+            # data dirs fully copied, marker staged but not renamed — so
+            # the reader-vs-writer overlap is guaranteed by construction
+            # instead of hoped-for by timing (the r4 flaky-suite fix)
+            _PRE_COMMIT_HOOK(new)
         os.replace(tmp, dst.seg(dst.manifest, new))
         # the marker just made this segment visible: drop cached plans
         # IMMEDIATELY so an in-process reader that sees the new manifest
@@ -891,6 +914,39 @@ def _raise_on_duplicate_docs(spark: SparkSession, index_dir: str,
             f"{what}: sources share doc_ids (first duplicate: "
             f"{dup.first()['doc_id']}) — doc spaces must be disjoint"
         )
+
+
+WRITER_LOCK_FILENAME = ".writer.lock"
+
+
+@contextmanager
+def _writer_lock(index_dir: str, what: str):
+    """Single-writer mutual exclusion for in-place index mutation.
+
+    ``add_documents`` is metadata-appending but NOT safe against a
+    concurrent add: two adds would compute the same next segment id and
+    share a staging path. O_CREAT|O_EXCL is atomic on POSIX and on every
+    shared filesystem worth running on; readers never take the lock
+    (reads are lock-free via committed-manifest-markers). A crashed
+    writer leaves the lock behind — the error message names the file so
+    an operator can remove it after confirming no writer is live."""
+    lock = os.path.join(index_dir, WRITER_LOCK_FILENAME)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"{what}: another writer holds {lock!r} (single-writer "
+            "contract). If no writer is live, remove the stale lock file."
+        ) from None
+    try:
+        os.write(fd, f"pid={os.getpid()}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
 
 
 def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
@@ -936,44 +992,48 @@ def add_documents(spark: SparkSession, index_dir: str, corpus: DataFrame,
             f"index's {tuple(cfg['meta_cols'])!r} — appended doc_stats "
             "segments must match the live schema"
         )
-    tmp = os.path.normpath(index_dir) + ".__add_tmp__"
+    # pid-suffixed staging + the writer lock together close the
+    # two-concurrent-adds hazards: shared staging path AND same-start-id
+    # computation (ADVICE r4)
+    tmp = os.path.normpath(index_dir) + f".__add_tmp__{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
-    try:
-        build_index(
-            spark, corpus, tmp,
-            id_col=cfg["id_col"], text_col=cfg["text_col"],
-            analyzer=cfg["analyzer"], meta_cols=tuple(meta_cols),
-            n_segments=int(n_segments), buckets=int(cfg["buckets"]),
-            block_size=int(cfg["block_size"]),
-            with_positions=bool(cfg.get("with_positions")),
-            table_format=cfg.get("table_format", "parquet"),
-            resume=False,
-        )
-        if verify_disjoint:
-            # check BEFORE re-homing: raising after the commit would
-            # leave the live index permanently carrying duplicate ids
-            overlap = (
-                read_doc_stats(spark, tmp).select("doc_id")
-                .join(read_doc_stats(spark, index_dir).select("doc_id"),
-                      "doc_id")
+    with _writer_lock(index_dir, "add_documents"):
+        try:
+            build_index(
+                spark, corpus, tmp,
+                id_col=cfg["id_col"], text_col=cfg["text_col"],
+                analyzer=cfg["analyzer"], meta_cols=tuple(meta_cols),
+                n_segments=int(n_segments), buckets=int(cfg["buckets"]),
+                block_size=int(cfg["block_size"]),
+                with_positions=bool(cfg.get("with_positions")),
+                table_format=cfg.get("table_format", "parquet"),
+                resume=False,
             )
-            first = overlap.first()
-            if first is not None:
-                raise ValueError(
-                    "add_documents: sources share doc_ids (first "
-                    f"duplicate: {first['doc_id']}) — doc spaces must "
-                    "be disjoint; nothing was appended"
+            if verify_disjoint:
+                # check BEFORE re-homing: raising after the commit would
+                # leave the live index permanently carrying duplicate ids
+                overlap = (
+                    read_doc_stats(spark, tmp).select("doc_id")
+                    .join(read_doc_stats(spark, index_dir).select("doc_id"),
+                          "doc_id")
                 )
-        dst = IndexPaths(index_dir)
-        start = max(_done_segments(spark, dst), default=-1) + 1
-        added = _rehome_segments(spark, tmp, dst, start)
-        _write_index_config(index_dir, {**cfg,
-                                        "meta_cols": list(meta_cols),
-                                        "n_segments": start + added})
-        invalidate_index_cache(index_dir)
-        return added
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+                first = overlap.first()
+                if first is not None:
+                    raise ValueError(
+                        "add_documents: sources share doc_ids (first "
+                        f"duplicate: {first['doc_id']}) — doc spaces must "
+                        "be disjoint; nothing was appended"
+                    )
+            dst = IndexPaths(index_dir)
+            start = max(_done_segments(spark, dst), default=-1) + 1
+            added = _rehome_segments(spark, tmp, dst, start)
+            _write_index_config(index_dir, {**cfg,
+                                            "meta_cols": list(meta_cols),
+                                            "n_segments": start + added})
+            invalidate_index_cache(index_dir)
+            return added
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def merge_indexes(spark: SparkSession, src_dirs: list[str], dst_dir: str,
@@ -1134,23 +1194,43 @@ def _atomic_write(df: DataFrame, path: str) -> None:
     writer(df, path)
 
 
+def _committed_marker_names(manifest_dir: str) -> list[str]:
+    """Strictly-committed manifest marker dir names (``segment=<n>``).
+
+    STRICT matching is a concurrency invariant, not tidiness: a live
+    writer stages its marker at ``segment=<n>.__tmp__`` before the
+    atomic rename, and that name matches any ``startswith``/glob
+    pattern. A reader that picks it up either crashes on a half-written
+    parquet file (the DataFrameReader.parquet exception seen in the r4
+    flaky-suite trace) or — worse — counts a fully-staged-but-unrenamed
+    marker in n_docs/avgdl/df statistics while the data-side read
+    (correctly) excludes the segment: torn scores."""
+    if not os.path.isdir(manifest_dir):
+        return []
+    return sorted(d for d in os.listdir(manifest_dir)
+                  if re.fullmatch(r"segment=\d+", d))
+
+
 def _done_segments(spark: SparkSession, paths: IndexPaths) -> set[int]:
     segs = set()
-    if not os.path.isdir(paths.manifest):
-        return segs
-    for d in os.listdir(paths.manifest):
-        if d.startswith("segment="):
-            try:
-                m = spark.read.parquet(os.path.join(paths.manifest, d)).first()
-                if m and m["status"] == "ok":
-                    segs.add(int(d.split("=")[1]))
-            except Exception:
-                continue
+    for d in _committed_marker_names(paths.manifest):
+        try:
+            m = spark.read.parquet(os.path.join(paths.manifest, d)).first()
+            if m and m["status"] == "ok":
+                segs.add(int(d.split("=")[1]))
+        except Exception:
+            continue
     return segs
 
 
 def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(IndexPaths(index_dir).manifest, "segment=*"))
+    mdir = IndexPaths(index_dir).manifest
+    names = _committed_marker_names(mdir)
+    if not names:
+        # preserve the historical failure mode (AnalysisException names
+        # the missing path) rather than inventing a new error type
+        return spark.read.parquet(os.path.join(mdir, "segment=*"))
+    return spark.read.parquet(*(os.path.join(mdir, d) for d in names))
 
 
 # Lazy-plan cache: building a parquet DataFrame re-lists the index files
@@ -1174,12 +1254,10 @@ def _cached_read(spark: SparkSession, base: str, kind: str) -> DataFrame:
         root = os.path.dirname(os.path.abspath(base))
         mdir = os.path.join(root, "manifest")
         paths = []
-        if os.path.isdir(mdir):
-            for d in sorted(os.listdir(mdir)):
-                if d.startswith("segment="):
-                    seg_path = os.path.join(base, d)
-                    if os.path.isdir(seg_path):
-                        paths.append(seg_path)
+        for d in _committed_marker_names(mdir):  # strict: never .__tmp__
+            seg_path = os.path.join(base, d)
+            if os.path.isdir(seg_path):
+                paths.append(seg_path)
         if paths:
             df = spark.read.option("basePath", base).parquet(*paths)
         else:
@@ -1232,10 +1310,43 @@ def sorted_isin(sorted_ref: np.ndarray, values: np.ndarray) -> np.ndarray:
 
 
 def _tombstone_gens(index_dir: str) -> tuple:
+    # Strict match: a crashed deleter's 'del=<n>.__tmp__<pid>' staging dir
+    # (or any other stray name) must never be visible as a generation —
+    # readers would see half-written parquet and the next delete_docs
+    # would crash parsing the generation number.
     d = os.path.join(index_dir, TOMBSTONES_DIRNAME)
     if not os.path.isdir(d):
         return ()
-    return tuple(sorted(x for x in os.listdir(d) if x.startswith("del=")))
+    return tuple(sorted(x for x in os.listdir(d)
+                        if re.fullmatch(r"del=\d+", x)))
+
+
+_TOMBSTONE_TMP_GC_AGE_SEC = 3600.0
+
+
+def _gc_stale_tombstone_tmps(base: str) -> None:
+    """Remove abandoned ``*.__tmp__*`` staging dirs from a crashed deleter.
+
+    Only dirs older than an hour are collected, so a LIVE concurrent
+    deleter mid-write (makedirs → write_table → os.replace, a
+    sub-second window) can never lose its staging dir to GC. Strict
+    ``_tombstone_gens`` matching already hides tmp dirs from readers;
+    this just stops them accumulating forever."""
+    try:
+        names = os.listdir(base)
+    except OSError:
+        return
+    now = time.time()
+    for x in names:
+        if ".__tmp__" not in x:
+            continue
+        p = os.path.join(base, x)
+        try:
+            if now - os.path.getmtime(p) < _TOMBSTONE_TMP_GC_AGE_SEC:
+                continue
+        except OSError:
+            continue  # vanished: its owner committed or cleaned up
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
@@ -1260,6 +1371,7 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
         return 0
     base = os.path.join(index_dir, TOMBSTONES_DIRNAME)
     os.makedirs(base, exist_ok=True)
+    _gc_stale_tombstone_tmps(base)
     gens = _tombstone_gens(index_dir)
     n = max((int(g.split("=")[1]) for g in gens), default=-1) + 1
     for _ in range(64):  # concurrent deleters race on n: first rename wins

@@ -832,7 +832,7 @@ SELECT CAST(d.{facet_col} AS VARCHAR) AS value,
        count(*) AS n_docs
 FROM documents d JOIN m USING (doc_id)
 GROUP BY 1
-ORDER BY n_docs DESC, value ASC
+ORDER BY n_docs DESC, value ASC NULLS LAST
 LIMIT {k}
 """.strip()
 

