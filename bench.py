@@ -50,8 +50,13 @@ SCALE_HIGH_CPUS = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "4"))
 # FIXED, pre-declared sample schedule (no adaptive retry: round 2's
 # sample-until-target loop was optional stopping conditioned on a
 # favorable reading — it biased the committed number upward; see
-# ADVICE r2). Every round runs; every sample is reported.
-SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "5"))
+# ADVICE r2). Every round runs; every sample is reported. 7 rounds
+# (raised from 5 per VERDICT r4 task #3, declared BEFORE any r5
+# measurement): the min-sensitive best-of estimator needs each config
+# to catch >=1 clean window on this shared box, and at 5 rounds one
+# externally-squeezed round could drag it under the bar while the
+# median stayed green (r4: 0.782 best / 0.844 median).
+SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "7"))
 # The high config runs HI_PER_ROUND times per round (default 2) — still a
 # fixed, pre-declared schedule. Rationale: the best-of estimator needs
 # each config to hit at least one clean window on this shared box, a

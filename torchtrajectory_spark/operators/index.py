@@ -96,6 +96,15 @@ class IndexPaths:
         return os.path.join(self.root, "terms")
 
     @property
+    def terms_sorted(self) -> str:
+        # secondary TERM-RANGE-partitioned dictionary (Lucene's sorted
+        # term dictionary / FST analog): same (term, df) rows as
+        # ``terms``, but range-partitioned + sorted on ``term`` so a
+        # prefix expansion is a range scan over O(1) files instead of a
+        # full pass over every crc32 bucket file
+        return os.path.join(self.root, "terms_sorted")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest")
 
@@ -671,8 +680,7 @@ def commit_segment(
         .groupBy("bucket", "term")
         .agg(F.sum("n_docs").alias("df"))
     )
-    _atomic_write(terms_df.sortWithinPartitions("bucket", "term"),
-                  paths.seg(paths.terms, s))
+    _write_terms(spark, terms_df, paths, s)
 
     # --- lineage + metrics manifest row (committed last = the marker);
     # fingerprint/row/byte metrics ride the two writes via Observation —
@@ -694,6 +702,58 @@ def commit_segment(
     _write_manifest_row(spark, manifest_row,
                         os.path.join(paths.manifest, f"segment={s}"))
     invalidate_index_cache(paths.root)
+
+
+# target rows per terms_sorted file: the file count scales with the
+# VOCABULARY (sublinear in corpus), so a small index gets one sorted
+# file per segment (zero listing overhead) while a 10^9-term dictionary
+# still splits into range files a prefix range can prune across.
+TERMS_SORTED_ROWS_PER_FILE = 1 << 18
+
+
+def _write_terms(spark: SparkSession, terms_df: DataFrame,
+                 paths: IndexPaths, s: int) -> None:
+    """Write one segment's term dictionary TWICE (both before the
+    manifest marker, so a committed segment always carries both):
+
+    * ``terms``: crc32-bucketed (bucket, term, df) — co-partitioned with
+      the postings, the dictionary the query path joins against.
+    * ``terms_sorted``: the same rows range-partitioned and sorted on
+      ``term`` — the Spark analog of Lucene's sorted term dictionary
+      (FST / ``TermsEnum.seekCeil``). A prefix expansion over the
+      bucketed dictionary is a full pass over every bucket file (a
+      prefix hashes everywhere); over this copy it is a ``term >= p AND
+      term < succ(p)`` range whose parquet file/row-group min-max
+      statistics touch O(1) of the vocabulary — at 10^12 files the
+      difference between reading the whole dictionary and a few
+      row groups. Vocabulary-sized (sublinear in corpus), read back
+      from the just-written primary so the postings-metadata scan that
+      produced ``terms_df`` runs exactly once; the read-back's parquet
+      footers also give the exact vocabulary row count driver-side (no
+      counting job) to size the range partitioning."""
+    seg_terms = paths.seg(paths.terms, s)
+    _atomic_write(terms_df.sortWithinPartitions("bucket", "term"), seg_terms)
+    n_rows = _parquet_dir_rows(seg_terms)
+    n_parts = max(1, -(-n_rows // TERMS_SORTED_ROWS_PER_FILE))
+    srt = (
+        spark.read.parquet(seg_terms)
+        .select("term", "df")
+        .repartitionByRange(n_parts, F.col("term"))
+        .sortWithinPartitions("term")
+    )
+    _atomic_write(srt, paths.seg(paths.terms_sorted, s))
+
+
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of a parquet dir from footers only (driver-side
+    metadata read, no Spark job — same footing as the manifest listing)."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            n += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return n
 
 
 def _write_manifest_row(spark: SparkSession, pdf: pd.DataFrame,
@@ -792,8 +852,7 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
         spark.read.parquet(paths.seg(paths.postings, 0))
         .groupBy("bucket", "term").agg(F.sum("n_docs").alias("df"))
     )
-    _atomic_write(terms_df.sortWithinPartitions("bucket", "term"),
-                  paths.seg(paths.terms, 0))
+    _write_terms(spark, terms_df, paths, 0)
 
     src_m = read_manifest(spark, src_dir).toPandas()
     fp = 0
@@ -865,7 +924,8 @@ def _rehome_segments(spark: SparkSession, src_dir: str, dst: "IndexPaths",
             )
         for base_src, base_dst in ((src.postings, dst.postings),
                                    (src.doc_stats, dst.doc_stats),
-                                   (src.terms, dst.terms)):
+                                   (src.terms, dst.terms),
+                                   (src.terms_sorted, dst.terms_sorted)):
             seg_src = src.seg(base_src, s)
             if os.path.isdir(seg_src):  # zero-posting segments may
                 seg_dst = dst.seg(base_dst, new)
@@ -1446,6 +1506,23 @@ def read_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     """(bucket, term, df) dictionary — per-segment df partials; global df
     per term = sum over segments."""
     return _cached_read(spark, IndexPaths(index_dir).terms, "terms")
+
+
+def read_terms_sorted(spark: SparkSession,
+                      index_dir: str) -> DataFrame | None:
+    """(term, df) term-RANGE-partitioned secondary dictionary (see
+    ``_write_terms``) — or ``None`` when any COMMITTED segment predates
+    the feature (e.g. a merge that re-homed segments from an old index):
+    a partial sorted dictionary would silently drop that segment's df
+    partials from an expansion, so the caller must fall back to the
+    bucketed ``read_terms`` scan instead."""
+    p = IndexPaths(index_dir)
+    names = _committed_marker_names(p.manifest)
+    if not names or not all(
+        os.path.isdir(os.path.join(p.terms_sorted, d)) for d in names
+    ):
+        return None
+    return _cached_read(spark, p.terms_sorted, "terms_sorted")
 
 
 def read_doc_stats(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -658,6 +658,39 @@ def explain_score(spark: SparkSession, index_dir: str, terms: list[str],
     )
 
 
+def _prefix_upper(prefix: str) -> str | None:
+    """Smallest string strictly greater than every string starting with
+    ``prefix`` (the exclusive upper bound of the prefix range): increment
+    the last incrementable codepoint, dropping any trailing U+10FFFF
+    maxima. UTF-8 byte order equals codepoint order, so the bound is
+    exact under both Spark's binary string comparison and parquet
+    min/max statistics. The surrogate gap [U+D800, U+DFFF] cannot occur
+    in valid data, so an increment landing there snaps to U+E000.
+    Returns ``None`` for the degenerate all-U+10FFFF prefix (range is
+    then unbounded above)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        c = ord(prefix[i])
+        if c < 0x10FFFF:
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
+    return None
+
+
+def _prefix_range_pred(prefix: str):
+    """``term`` is in [prefix, succ(prefix)) — EXACTLY the set of terms
+    starting with ``prefix``, expressed as a closed/open range so both
+    bounds push into the parquet scan as comparisons against file and
+    row-group ``term`` statistics (a StartsWith only prunes on the lower
+    side in practice)."""
+    pred = F.col("term") >= str(prefix)
+    upper = _prefix_upper(str(prefix))
+    if upper is not None:
+        pred = pred & (F.col("term") < upper)
+    return pred
+
+
 def expand_prefix(spark: SparkSession, index_dir: str, prefix: str,
                   max_terms: int = 64) -> dict[str, float]:
     """Dictionary expansion for prefix queries: every indexed term
@@ -665,26 +698,41 @@ def expand_prefix(spark: SparkSession, index_dir: str, prefix: str,
     ``max_terms`` highest-df terms (ties broken term ASC — deterministic,
     the cap policy of Lucene's ``MultiTermQuery`` boolean rewrite).
 
-    The terms table is hash-bucketed (crc32), so a prefix cannot be
-    pruned to one bucket; this is a full-dictionary scan with the
-    StartsWith predicate pushed into the parquet scan. Terms are sorted
-    within each (bucket, segment) file, so parquet row-group min/max
-    statistics on ``term`` skip most of the dictionary; at 10^12-file
-    scale a globally term-sorted secondary dictionary would make this a
-    range scan — the same scan-shape tradeoff Lucene resolves with its
-    sorted term dictionary (FST).
-    """
+    Scan shape: the primary terms table is hash-bucketed (crc32), so a
+    prefix hashes into EVERY bucket file and the StartsWith scan touches
+    the whole dictionary. Indexes built since the ``terms_sorted``
+    secondary dictionary exists (Lucene's sorted term dictionary / FST
+    analog, ``_write_terms``) route through it instead: the prefix
+    becomes a [prefix, succ(prefix)) range over term-range-partitioned
+    files, so file/row-group min-max statistics reduce the read to O(1)
+    of the vocabulary. Pre-feature indexes (``read_terms_sorted`` →
+    ``None``) fall back to the bucketed scan — identical results, only
+    the pruning differs."""
+    from .index import read_terms_sorted
+
+    prefix = str(prefix)
+    srt = read_terms_sorted(spark, index_dir)
+    if srt is not None and prefix:
+        return _expand_from(srt, _prefix_range_pred(prefix), max_terms)
     return _expand_terms(spark, index_dir,
-                         F.col("term").startswith(str(prefix)), max_terms)
+                         F.col("term").startswith(prefix), max_terms)
 
 
 def _expand_terms(spark: SparkSession, index_dir: str, pred,
                   max_terms: int) -> dict[str, float]:
+    """Dictionary expansion over the PRIMARY (crc32-bucketed) terms
+    table — the path for predicates with no literal prefix to range on
+    (fuzzy, leading wildcard) and for pre-``terms_sorted`` indexes."""
+    return _expand_from(read_terms(spark, index_dir), pred, max_terms)
+
+
+def _expand_from(terms: DataFrame, pred, max_terms: int) -> dict[str, float]:
     """Shared dictionary-expansion core (MultiTermQuery rewrite): every
-    indexed term matching ``pred``, with its global df, capped to the
-    ``max_terms`` highest-df terms (ties term ASC — deterministic)."""
+    indexed term matching ``pred``, with its global df (sum of the
+    per-segment partials), capped to the ``max_terms`` highest-df terms
+    (ties term ASC — deterministic)."""
     rows = (
-        read_terms(spark, index_dir)
+        terms
         .where(pred)
         .groupBy("term").agg(F.sum("df").alias("df"))
         .orderBy(F.col("df").desc(), F.col("term").asc())
@@ -717,14 +765,22 @@ def expand_wildcard(spark: SparkSession, index_dir: str, pattern: str,
                     max_terms: int = 64) -> dict[str, float]:
     """Dictionary expansion for wildcard queries (Lucene
     ``WildcardQuery``). The regex itself cannot be pushed to parquet, but
-    any literal prefix before the first wildcard becomes a StartsWith
-    pre-filter: terms are sorted within each (bucket, segment) file, so
-    row-group min/max statistics skip most of the dictionary exactly as
-    in :func:`expand_prefix` (Lucene's leading-wildcard slow-path caveat
-    carries over — ``*x`` patterns scan the whole dictionary)."""
+    any literal prefix before the first wildcard becomes a range
+    pre-filter: on a ``terms_sorted`` index (see :func:`expand_prefix`)
+    the [lit, succ(lit)) bounds prune to O(1) term-range-partitioned
+    files; on older indexes the StartsWith still rides each bucket
+    file's row-group min/max on the sorted ``term`` column. Lucene's
+    leading-wildcard slow-path caveat carries over — ``*x`` patterns
+    scan the whole (vocabulary-sized) dictionary."""
+    from .index import read_terms_sorted
+
     pred = F.col("term").rlike(wildcard_regex(str(pattern)))
     lit = re.split(r"[*?]", str(pattern), maxsplit=1)[0]
     if lit:
+        srt = read_terms_sorted(spark, index_dir)
+        if srt is not None:
+            return _expand_from(srt, _prefix_range_pred(lit) & pred,
+                                max_terms)
         pred = F.col("term").startswith(lit) & pred
     return _expand_terms(spark, index_dir, pred, max_terms)
 

@@ -786,6 +786,37 @@ FROM m WHERE pos IS NOT NULL
 """.strip()
 
 
+def snippets_resolved_sql(terms: list[str], k: int, width: int) -> str:
+    """Snippets over the RESOLVED top-k result set (the 10^12-file
+    highlighter contract): BM25 top-k ids -> doc store join -> the exact
+    window semantics of ``snippets_sql``, evaluated over k rows only."""
+    ts = sorted(set(terms))
+    ps = [
+        "nullif(list_position(t, '" + t.replace("'", "''") + "'), 0)"
+        for t in ts
+    ]
+    pos = ps[0] if len(ps) == 1 else f"least({', '.join(ps)})"
+    w = int(width)
+    inner = bm25_topk_sql(terms, k)
+    return f"""
+WITH topk AS ({inner}),
+toks AS (
+  SELECT d.doc_id, topk.score_u6,
+         list_filter(string_split(lower(d.text), ' '), x -> x <> '') AS t
+  FROM documents d JOIN topk ON d.doc_id = topk.doc_id
+),
+m AS (
+  SELECT doc_id, score_u6, t, {pos} AS pos FROM toks
+)
+SELECT doc_id, score_u6,
+       CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         t[greatest(1, pos - {w}):least(len(t), pos + {w})], ' '
+       ) AS snippet
+FROM m WHERE pos IS NOT NULL
+""".strip()
+
+
 def bm25_topk_search_sql(bare: list[str], prefixes: list[str],
                          must: list[str], must_not: list[str], k: int,
                          k1: float = BM25_K1, b: float = BM25_B) -> str:

@@ -313,6 +313,26 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippets(_docs(spark, sf_dir), SNIPPET_TERMS, SNIPPET_W)
 
 
+def q_snippets_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets composed over an ALREADY-RESOLVED top-k result set — the
+    documented 10^12-file contract (``operators/snippet.py:11-13``): the
+    flagship indexed top-k's k doc_ids broadcast back to the doc store,
+    and the highlighter scan runs over k rows, never the corpus. The
+    corpus-sized work is the WAND scan that produced the ids; the
+    snippet pass costs O(k)."""
+    from ..operators.snippet import snippets
+
+    d = _docs(spark, sf_dir)
+    idx = ensure_index(spark, sf_dir)
+    tk = _score_u6(_engine(spark, idx).find_topk(Q_TOPK, K))
+    resolved = d.join(F.broadcast(tk), "doc_id")
+    return (
+        snippets(resolved, Q_TOPK, SNIPPET_W)
+        .join(F.broadcast(tk), "doc_id")
+        .select("doc_id", "score_u6", "pos", "snippet")
+    )
+
+
 def q_search_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simple query syntax end-to-end: bare term + prefix expansion
     score, +must / -must_not filter — compiled onto the boolean WAND
@@ -1022,11 +1042,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
     "topk_bm25_rare": q_topk_bm25_rare,
     "snippets": q_snippets,
-    "train_val_split": q_train_val_split,
+    "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "resolve_topk": q_resolve_topk,
     # ---- parked tail: ALL driver-green in r04 (CORRECTNESS_r04.json),
     # so their evidence stays within the trailing-2-round window while
     # they sit past the 50-row cap this round. ----
+    "train_val_split": q_train_val_split,  # parked to seat snippets_resolved
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "bool_and_indexed": q_bool_and_indexed,
     "media_features": q_media_features,
@@ -1101,6 +1122,9 @@ ORACLES: dict[str, str] = {
     ),
     "facet_lang": oracles.facet_counts_sql(Q_TOPK, "lang", K, "or"),
     "snippets": oracles.snippets_sql(SNIPPET_TERMS, SNIPPET_W),
+    "snippets_resolved": oracles.snippets_resolved_sql(
+        Q_TOPK, K, SNIPPET_W
+    ),
     "train_val_split": oracles.train_val_split_sql(VAL_PCT),
     "chunk_docs": oracles.chunk_documents_sql(CHUNK_C, CHUNK_V,
                                               CHUNK_WHERE),
