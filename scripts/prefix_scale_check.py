@@ -77,9 +77,7 @@ def main() -> None:
     for prefix in ("re", "id_42", "ua1234"):
         s_sec, s_res = cold(lambda: wand.expand_prefix(spark, idx, prefix))
         f_sec, f_res = cold(lambda: wand._expand_terms(
-            spark, idx,
-            __import__("pyspark.sql.functions", fromlist=["col"])
-            .col("term").startswith(prefix), 64))
+            spark, idx, F.col("term").startswith(prefix), 64))
         assert s_res == f_res, (prefix, s_res, f_res)
         res[f"prefix_{prefix}"] = {
             "sorted_cold_sec": round(s_sec, 3),

@@ -483,3 +483,46 @@ def test_merge_indexes_rank_identical_to_single_build(spark, corpus,
     )
     with pytest.raises(ValueError, match="buckets"):
         merge_indexes(spark, [parts[0], other], str(base / "bad2"))
+
+
+def test_vectorized_emit_equals_groupby_reference():
+    """The factorize+lexsort emit (r5: replaced the pandas groupby whose
+    per-posting ``list`` aggregation was the 4-5x positional build
+    multiplier) must produce EXACTLY the per-(doc, term) rows and the
+    row-aligned ascending position stream of the obvious groupby — pure
+    pandas, no Spark session."""
+    import pandas as pd
+
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+    from torchtrajectory_spark.operators.index import _emit_chunk_fn
+    from torchtrajectory_spark.sources.corpus import gen_rows
+
+    pdf = gen_rows(np.arange(120))
+    # include an empty and a whitespace-only doc (must emit nothing)
+    pdf.loc[3, "content"] = ""
+    pdf.loc[7, "content"] = "   "
+
+    rows, flat = _emit_chunk_fn("doc_id", "content", "code",
+                                with_positions=True)(pdf)
+
+    # reference: explicit per-doc token walk
+    ref = {}
+    for did, text in zip(pdf["doc_id"], pdf["content"]):
+        toks = tokenize_py(text or "", "code")
+        for p, t in enumerate(toks):
+            ref.setdefault((did, t), [len(toks), []])[1].append(p)
+    assert len(rows) == len(ref)
+    tf = rows["tf"].to_numpy()
+    bounds = np.concatenate(([0], np.cumsum(tf)))
+    for i, (term, did, n, dl) in enumerate(
+            zip(rows["term"], rows["doc_id"], tf, rows["dl"])):
+        exp_dl, exp_pos = ref[(did, term)]
+        assert dl == exp_dl and n == len(exp_pos)
+        assert flat[bounds[i]:bounds[i + 1]].tolist() == exp_pos
+
+    # tf-only variant: same rows, no stream
+    rows2, flat2 = _emit_chunk_fn("doc_id", "content", "code")(pdf)
+    assert flat2 is None
+    a = rows.drop(columns=[]).sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = rows2.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
