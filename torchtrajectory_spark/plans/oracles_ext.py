@@ -217,6 +217,50 @@ LIMIT {k}
 """.strip()
 
 
+def hybrid_rrf_sql(terms: list[str], query_vec_id: int, n: int, k: int,
+                   c: int = 60) -> str:
+    """Hybrid RRF oracle: BM25 top-n list + cosine top-n list, ranks
+    assigned over the u6-quantized scores (doc_id ASC tie-break — the
+    exact rank rule of ``operators.fusion.rrf_fuse``), fused
+    1/(c+rank) and re-ranked. The fused sum is at most two double
+    additions per doc — bit-stable across engines."""
+    from .oracles import bm25_topk_sql
+
+    cos = COS_FN.format(a="e.embedding", b="qv.embedding")
+    return f"""
+WITH bmtop AS ({bm25_topk_sql(terms, n)}),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_u6 DESC, doc_id ASC) AS r
+  FROM bmtop
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = {query_vec_id}),
+cstop AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(round(({cos}) * 1e6) AS BIGINT) AS cos_u6
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> {query_vec_id}
+  ORDER BY {cos} DESC, e.vec_id ASC
+  LIMIT {n}
+),
+cr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_u6 DESC, doc_id ASC) AS r
+  FROM cstop
+),
+u AS (
+  SELECT doc_id, 1.0 / ({c} + r) AS w FROM bm
+  UNION ALL
+  SELECT doc_id, 1.0 / ({c} + r) AS w FROM cr
+),
+f AS (SELECT doc_id, sum(w) AS rrf FROM u GROUP BY doc_id)
+SELECT doc_id, CAST(round(rrf * 1e6) AS BIGINT) AS rrf_u6
+FROM f
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def _ivf_assign_cte() -> str:
     cos = COS_FN.format(a="e.embedding", b="c.embedding")
     return f"""

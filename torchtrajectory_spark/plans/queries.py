@@ -313,6 +313,24 @@ def q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snippets(_docs(spark, sf_dir), SNIPPET_TERMS, SNIPPET_W)
 
 
+FUSE_N = 20  # per-list depth feeding the hybrid fusion
+
+
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-N (indexed WAND path) fused with
+    embedding-cosine top-N by Reciprocal Rank Fusion (c=60) — the
+    standard lexical+vector hybrid (Lucene/OpenSearch default). The
+    fusion itself is over two bounded N-row lists; the corpus-scale
+    work is the two underlying retrievals."""
+    from ..operators.fusion import rrf_fuse
+
+    idx = ensure_index(spark, sf_dir)
+    bm = _score_u6(_engine(spark, idx).find_topk(Q_TOPK, FUSE_N))
+    cos = similarity.cosine_topk(_emb(spark, sf_dir), ANN_QID, FUSE_N) \
+        .select(F.col("vec_id").alias("doc_id"), "cos_u6")
+    return rrf_fuse([(bm, "score_u6"), (cos, "cos_u6")], K)
+
+
 def q_snippets_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snippets composed over an ALREADY-RESOLVED top-k result set — the
     documented 10^12-file contract (``operators/snippet.py:11-13``): the
@@ -1041,13 +1059,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_batch": q_topk_bm25_batch,
     "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
     "topk_bm25_rare": q_topk_bm25_rare,
-    "snippets": q_snippets,
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
     "resolve_topk": q_resolve_topk,
-    # ---- parked tail: ALL driver-green in r04 (CORRECTNESS_r04.json),
-    # so their evidence stays within the trailing-2-round window while
-    # they sit past the 50-row cap this round. ----
-    "train_val_split": q_train_val_split,  # parked to seat snippets_resolved
+    "train_val_split": q_train_val_split,  # position 50 — last checked row
+    # ---- parked tail (positions 51+): ALL driver-green in r04
+    # (CORRECTNESS_r04.json), so their evidence stays within the
+    # trailing-2-round window while they sit past the 50-row cap this
+    # round. snippets parked to seat the two r5 additions
+    # (snippets_resolved exercises the same operator + the resolved
+    # composition). ----
+    "snippets": q_snippets,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "bool_and_indexed": q_bool_and_indexed,
     "media_features": q_media_features,
@@ -1125,6 +1147,7 @@ ORACLES: dict[str, str] = {
     "snippets_resolved": oracles.snippets_resolved_sql(
         Q_TOPK, K, SNIPPET_W
     ),
+    "hybrid_rrf_topk": oracles_ext.hybrid_rrf_sql(Q_TOPK, ANN_QID, FUSE_N, K),
     "train_val_split": oracles.train_val_split_sql(VAL_PCT),
     "chunk_docs": oracles.chunk_documents_sql(CHUNK_C, CHUNK_V,
                                               CHUNK_WHERE),
