@@ -414,3 +414,46 @@ def test_search_rejects_wildcard_filter_clauses(spark, engine):
     for q in ("spark +jo*", "spark -jo*"):
         with pytest.raises(ValueError, match="filter clause"):
             eng.search(q, 5)
+
+
+def test_highlight_over_resolved_results(spark, engine):
+    """Engine.highlight = snippets composed over an already-retrieved
+    result set: every returned row keeps its score, carries a snippet
+    containing >=1 query term, and the row set is exactly the top-k docs
+    that contain a term (BM25 top-k only scores docs containing >=1)."""
+    eng, docs = engine
+    terms = ["spark", "join"]
+    tk = eng.find_topk(terms, 5)
+    out = eng.highlight(tk, docs, terms).collect()
+    assert 0 < len(out) <= 5
+    got_ids = sorted(r["doc_id"] for r in out)
+    assert got_ids == sorted(r["doc_id"] for r in tk.collect())
+    for r in out:
+        assert any(t in r["snippet"].split() for t in terms)
+        assert r["pos"] >= 1 and r["score"] > 0
+
+
+def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
+    """Engine.find_topk_hybrid == hand-computed RRF over its two input
+    lists (ranks on u6 scores, doc_id tie-break, 1/(60+r))."""
+    eng, docs = engine
+    from torchtrajectory_spark.operators.similarity import cosine_topk
+    from torchtrajectory_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    terms, qid, k, n = ["spark", "join"], 0, 5, 10
+    got = [(r["doc_id"], r["rrf_u6"])
+           for r in eng.find_topk_hybrid(terms, emb, qid, k, n=n).collect()]
+
+    bm = [(r["doc_id"], round(r["score"] * 1e6))
+          for r in eng.find_topk(terms, n).collect()]
+    cs = [(r["vec_id"], r["cos_u6"])
+          for r in cosine_topk(emb, qid, n).collect()]
+    w = {}
+    for lst in (bm, cs):
+        ranked = sorted(lst, key=lambda t: (-t[1], t[0]))
+        for r, (d, _) in enumerate(ranked, start=1):
+            w[d] = w.get(d, 0.0) + 1.0 / (60 + r)
+    exp = sorted(w.items(), key=lambda t: (-t[1], t[0]))[:k]
+    exp = [(d, round(v * 1e6)) for d, v in exp]
+    assert got == exp

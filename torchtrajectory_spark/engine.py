@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .config import BM25_B, BM25_K1, DEFAULT_K
 from .operators import boolean, phrase as phrase_ops
@@ -288,6 +289,46 @@ class Engine:
 
         return facet_counts(self.spark, self.index_dir, terms, facet_col,
                             k=k, mode=mode, buckets=self._buckets)
+
+    def highlight(self, result: DataFrame, docs: DataFrame,
+                  terms: list[str], width: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  analyzer: str = "ws") -> DataFrame:
+        """Snippets over an ALREADY-RETRIEVED result set (the Lucene
+        highlighter contract): broadcast the k result rows against the
+        caller's doc store ``docs`` (the index stores no raw text), then
+        run the zero-Python snippet scan over k rows — never the corpus.
+        Returns result columns + (pos, snippet)."""
+        from .operators.snippet import snippets
+
+        resolved = docs.join(F.broadcast(result), id_col)
+        sn = snippets(resolved, terms, width, id_col=id_col,
+                      text_col=text_col, analyzer=analyzer)
+        return result.join(F.broadcast(sn), id_col)
+
+    def find_topk_hybrid(self, terms: list[str], emb: DataFrame,
+                         query_vec_id: int, k: int = DEFAULT_K,
+                         n: int | None = None, c: int = 60,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+        """Hybrid lexical+vector retrieval: BM25 top-n fused with
+        embedding-cosine top-n by Reciprocal Rank Fusion (1/(c+rank),
+        c=60 — the Lucene/OpenSearch hybrid default). ``emb`` is the
+        caller's embedding table; ``query_vec_id`` names the query
+        vector in it (ids shared with the indexed doc ids). Returns
+        (doc_id, rrf_u6) top-k."""
+        from .operators.fusion import rrf_fuse
+        from .operators.similarity import cosine_topk
+
+        n = int(n) if n is not None else max(int(k) * 2, 10)
+        bm = self.find_topk(terms, n).select(
+            "doc_id",
+            F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
+        )
+        cos = cosine_topk(emb, query_vec_id, n,
+                          id_col=id_col, vec_col=vec_col) \
+            .select(F.col("vec_id").alias("doc_id"), "cos_u6")
+        return rrf_fuse([(bm, "score_u6"), (cos, "cos_u6")], k, c=c)
 
     def explain_score(self, terms: list[str], doc_id: int) -> DataFrame:
         """Per-term BM25 breakdown for one document (Lucene

@@ -800,13 +800,52 @@ def _write_terms(spark: SparkSession, terms_df: DataFrame,
     _atomic_write(terms_df.sortWithinPartitions("bucket", "term"), seg_terms)
     n_rows = _parquet_dir_rows(seg_terms)
     n_parts = max(1, -(-n_rows // TERMS_SORTED_ROWS_PER_FILE))
-    srt = (
-        spark.read.parquet(seg_terms)
-        .select("term", "df")
-        .repartitionByRange(n_parts, F.col("term"))
-        .sortWithinPartitions("term")
-    )
-    _atomic_write(srt, paths.seg(paths.terms_sorted, s))
+    dst = paths.seg(paths.terms_sorted, s)
+    if n_parts == 1 and _ACTIVE_FORMAT == "parquet":
+        # single-file dictionary: sort + write DRIVER-SIDE (pyarrow) —
+        # vocabulary-bounded, the same footing as the tombstone reads.
+        # The Spark roundtrip (read-back + range shuffle + write) costs
+        # ~0.5 s of fixed job overhead PER SEGMENT, which at bench scale
+        # both halved build throughput and depressed the measured 1->4
+        # core scaling ratio (a constant that does not parallelize).
+        _write_terms_sorted_driver(seg_terms, dst)
+    else:
+        srt = (
+            spark.read.parquet(seg_terms)
+            .select("term", "df")
+            .repartitionByRange(n_parts, F.col("term"))
+            .sortWithinPartitions("term")
+        )
+        _atomic_write(srt, dst)
+
+
+def _write_terms_sorted_driver(seg_terms: str, dst: str) -> None:
+    """Driver-side single-file ``terms_sorted`` write: read the
+    just-written primary dictionary's (term, df) with pyarrow, sort by
+    term (Python codepoint order == Spark's UTF-8 binary order), write
+    one parquet file via the same write-then-rename discipline as every
+    segment artifact. Only taken when the segment vocabulary fits one
+    target file (``TERMS_SORTED_ROWS_PER_FILE``) and the active table
+    format is plain parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    parts = [
+        pq.read_table(os.path.join(seg_terms, f), columns=["term", "df"])
+        for f in sorted(os.listdir(seg_terms)) if f.endswith(".parquet")
+    ]
+    t = (pa.concat_tables(parts) if parts
+         else pa.table({"term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64())}))
+    t = t.sort_by("term")
+    tmp = dst + ".__tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(t, os.path.join(tmp, "part-0.parquet"))
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.replace(tmp, dst)
 
 
 def _parquet_dir_rows(path: str) -> int:
