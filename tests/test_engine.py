@@ -433,6 +433,30 @@ def test_highlight_over_resolved_results(spark, engine):
         assert r["pos"] >= 1 and r["score"] > 0
 
 
+def test_highlight_defaults_to_index_analyzer(spark, tmp_path):
+    """An index built with analyzer="code" must highlight with the SAME
+    tokenization by default: 'foo(bar)' matches term 'foo' under the
+    code analyzer but is a single alien token under ws — the old
+    hardcoded ws default returned zero snippets for a doc the index
+    matched. Also pins highlight over a non-default id_col (snippets()
+    normalizes its id column internally)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha foo(bar) baz"), (2, "no match here")],
+        "file_id bigint, text string")
+    d = str(tmp_path / "code_idx")
+    eng = Engine.build(spark, docs, d, id_col="file_id",
+                       text_col="text", analyzer="code",
+                       n_segments=1, buckets=4)
+    assert eng._analyzer == "code"
+    tk = eng.find_topk(["foo"], 5)
+    out = eng.highlight(tk, docs, ["foo"], id_col="file_id").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert "foo" in out[0]["snippet"].split()
+    # explicit ws override: 'foo(bar)' never tokenizes to 'foo' -> empty
+    assert eng.highlight(tk, docs, ["foo"], id_col="file_id",
+                         analyzer="ws").count() == 0
+
+
 def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
     """Engine.find_topk_hybrid == hand-computed RRF over its two input
     lists (ranks on u6 scores, doc_id tie-break, 1/(60+r))."""

@@ -69,6 +69,7 @@ class Engine:
     k1: float = BM25_K1
     b: float = BM25_B
     _buckets: int = field(default=0, repr=False)
+    _analyzer: str = field(default="ws", repr=False)
     _scalars: tuple | None = field(default=None, repr=False)
     # per-term-set IndexMeta memo: term df values are immutable for an
     # opened index (segments are append-only and an Engine instance is
@@ -84,7 +85,8 @@ class Engine:
         """Open an existing index (the reference's query-time bootstrap,
         ``QueryPool`` ctor)."""
         cfg = read_index_config(index_dir)
-        return cls(spark, index_dir, _buckets=int(cfg["buckets"]))
+        return cls(spark, index_dir, _buckets=int(cfg["buckets"]),
+                   _analyzer=str(cfg.get("analyzer", "ws")))
 
     @classmethod
     def build(cls, spark: SparkSession, corpus: DataFrame, index_dir: str,
@@ -97,7 +99,7 @@ class Engine:
     def with_bm25(self, k1: float, b: float) -> "Engine":
         """Runtime scorer-parameter swap (Engine.update analog)."""
         return Engine(self.spark, self.index_dir, k1, b,
-                      _buckets=self._buckets)
+                      _buckets=self._buckets, _analyzer=self._analyzer)
 
     # --------------------------------------------------- query API -----
     def find_topk(self, terms: list[str], k: int = DEFAULT_K,
@@ -293,18 +295,35 @@ class Engine:
     def highlight(self, result: DataFrame, docs: DataFrame,
                   terms: list[str], width: int = 5,
                   id_col: str = "doc_id", text_col: str = "text",
-                  analyzer: str = "ws") -> DataFrame:
+                  analyzer: str | None = None) -> DataFrame:
         """Snippets over an ALREADY-RETRIEVED result set (the Lucene
         highlighter contract): broadcast the k result rows against the
         caller's doc store ``docs`` (the index stores no raw text), then
         run the zero-Python snippet scan over k rows — never the corpus.
-        Returns result columns + (pos, snippet)."""
+        ``result`` is an engine result frame (keyed ``doc_id``, the
+        index's output column whatever the corpus id was named);
+        ``id_col``/``text_col`` name the columns of the caller's doc
+        store. Returns result columns + (pos, snippet). ``analyzer``
+        defaults to the INDEX's configured analyzer — highlighting must
+        tokenize the way the match did, or a doc that matched can yield
+        no snippet."""
         from .operators.snippet import snippets
 
-        resolved = docs.join(F.broadcast(result), id_col)
+        if analyzer is None:
+            analyzer = self._analyzer
+        # The read-only snippet scan has a JVM-parity tokenizer for the
+        # code analyzer (tokens_code_jvm, parity pinned in
+        # test_tokenizer) — keep highlight zero-Python.
+        if analyzer == "code":
+            analyzer = "code_jvm"
+        res = result if id_col == "doc_id" else \
+            result.withColumnRenamed("doc_id", id_col)
+        resolved = docs.join(F.broadcast(res), id_col)
+        # snippets() normalizes its id column to "doc_id", matching
+        # result's key whatever the doc store calls it.
         sn = snippets(resolved, terms, width, id_col=id_col,
                       text_col=text_col, analyzer=analyzer)
-        return result.join(F.broadcast(sn), id_col)
+        return result.join(F.broadcast(sn), "doc_id")
 
     def find_topk_hybrid(self, terms: list[str], emb: DataFrame,
                          query_vec_id: int, k: int = DEFAULT_K,
