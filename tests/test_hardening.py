@@ -92,6 +92,36 @@ def test_staged_marker_invisible_to_all_manifest_readers(spark, idx, corpus):
         invalidate_index_cache(idx)
 
 
+def test_staged_marker_invisible_before_first_commit(spark, tmp_path):
+    """The PRE-FIRST-COMMIT window: an index whose manifest holds ONLY a
+    writer's ``.__tmp__`` staging dir (racing the very first segment
+    commit, or a crashed first build). The zero-committed-segments
+    fallback must surface the historical no-such-index error, never scan
+    the half-written staging parquet (torn statistics / footer crash)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    from torchtrajectory_spark.operators.index import _write_index_config
+
+    idx = str(tmp_path / "fresh_idx")
+    _garbage_marker(idx, "segment=0.__tmp__")
+    # data-side debris too: half-written postings under a staging name
+    pdir = os.path.join(idx, "postings", "segment=0.__tmp__")
+    os.makedirs(pdir)
+    with open(os.path.join(pdir, "part-0.parquet"), "wb") as f:
+        f.write(b"PAR1 not a footer")
+    # build_index writes the config BEFORE the segment loop, so a
+    # crashed first build leaves it behind
+    _write_index_config(idx, {"buckets": BUCKETS, "analyzer": "code"})
+    invalidate_index_cache(idx)
+    with pytest.raises((AnalysisException, Py4JJavaError)) as ei:
+        read_manifest(spark, idx).count()
+    assert "PATH_NOT_FOUND" in str(ei.value) or "Path does not exist" \
+        in str(ei.value)
+    with pytest.raises((AnalysisException, Py4JJavaError)):
+        topk_bm25_index(spark, idx, Q, K).collect()
+
+
 def test_tombstone_tmp_dir_invisible_and_collected(spark, idx, corpus):
     import time
 

@@ -249,20 +249,28 @@ def test_table_writer_seam(spark, tmp_path):
     from torchtrajectory_spark.operators import index as ix
 
     calls = []
+    reads = []
 
     def fake_writer(df, path):
         calls.append(path)
         ix._atomic_write_parquet(df, path)
 
+    def fake_reader(spark_, path):
+        reads.append(path)
+        return spark_.read.parquet(path)
+
     ix.register_table_writer("fake", fake_writer)
+    ix.register_table_reader("fake", fake_reader)
     df = spark.createDataFrame([(1, "a b"), (2, "b c")],
                                "doc_id bigint, text string")
     d = str(tmp_path / "fmt_idx")
     ix.build_index(spark, df, d, id_col="doc_id", text_col="text",
                    n_segments=1, buckets=2, resume=False,
                    table_format="fake")
-    # postings + doc_stats + terms + manifest all went through the writer
+    # postings + doc_stats + terms + manifest all went through the writer,
+    # and the intra-build read-back (terms derivation) through the reader
     assert len(calls) >= 4
+    assert reads, "terms derivation bypassed the registered reader"
     assert ix._ACTIVE_FORMAT == "parquet"
     assert ix.postings_flat(spark, d).count() > 0
 

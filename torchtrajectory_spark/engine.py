@@ -316,12 +316,14 @@ class Engine:
         # test_tokenizer) — keep highlight zero-Python.
         if analyzer == "code":
             analyzer = "code_jvm"
-        res = result if id_col == "doc_id" else \
-            result.withColumnRenamed("doc_id", id_col)
-        resolved = docs.join(F.broadcast(res), id_col)
-        # snippets() normalizes its id column to "doc_id", matching
-        # result's key whatever the doc store calls it.
-        sn = snippets(resolved, terms, width, id_col=id_col,
+        # Normalize the DOC-STORE side to the result's key (renaming the
+        # result instead would collide when it already carries the doc
+        # store's id column, e.g. a resolve()d frame): snippets() emits
+        # "doc_id" too, so every join below is unambiguous.
+        d = docs if id_col == "doc_id" else \
+            docs.withColumnRenamed(id_col, "doc_id")
+        resolved = d.join(F.broadcast(result.select("doc_id")), "doc_id")
+        sn = snippets(resolved, terms, width, id_col="doc_id",
                       text_col=text_col, analyzer=analyzer)
         return result.join(F.broadcast(sn), "doc_id")
 

@@ -182,21 +182,29 @@ def _emit_fn(id_col: str, text_col: str, analyzer: str,
     emit_chunk = _emit_chunk_fn(id_col, text_col, analyzer, with_positions)
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for full in batches:
-            for s in range(0, len(full), EMIT_CHUNK_DOCS):
-                r = emit_chunk(full.iloc[s:s + EMIT_CHUNK_DOCS])
-                if r is None:
-                    continue
-                rows, flat_pos = r
-                if with_positions:
-                    bounds = np.cumsum(
-                        rows["tf"].to_numpy(dtype=np.int64))[:-1]
-                    rows = rows.assign(
-                        positions=np.split(flat_pos.astype(np.int32),
-                                           bounds))
-                yield rows
+        for rows, flat_pos in _emit_chunks(emit_chunk, batches):
+            if with_positions:
+                bounds = np.cumsum(
+                    rows["tf"].to_numpy(dtype=np.int64))[:-1]
+                rows = rows.assign(
+                    positions=np.split(flat_pos.astype(np.int32),
+                                       bounds))
+            yield rows
 
     return emit
+
+
+def _emit_chunks(emit_chunk, batches: Iterator[pd.DataFrame]):
+    """The one chunking policy both emit surfaces share (debug
+    ``emit_postings`` and the production SPIMI map): slice every Arrow
+    batch into EMIT_CHUNK_DOCS-doc chunks (the pandas tokenize+groupby
+    cost curve bends ~7x past ~2.5k docs/frame), skip empty results,
+    yield ``(rows, flat_pos)``."""
+    for full in batches:
+        for s in range(0, len(full), EMIT_CHUNK_DOCS):
+            r = emit_chunk(full.iloc[s:s + EMIT_CHUNK_DOCS])
+            if r is not None:
+                yield r
 
 
 def encode_positions(pos_arrays: list[np.ndarray]) -> bytes:
@@ -418,14 +426,10 @@ def _spimi_map_fn(id_col: str, text_col: str, analyzer: str, buckets: int,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         frames: list[pd.DataFrame] = []
         streams: list[np.ndarray] = []
-        for full in batches:
-            for s in range(0, len(full), EMIT_CHUNK_DOCS):
-                r = emit_chunk(full.iloc[s:s + EMIT_CHUNK_DOCS])
-                if r is None:
-                    continue
-                frames.append(r[0])
-                if with_positions:
-                    streams.append(r[1])
+        for rows, flat_pos in _emit_chunks(emit_chunk, batches):
+            frames.append(rows)
+            if with_positions:
+                streams.append(flat_pos)
         if not frames:
             return
         pdf = pd.concat(frames, ignore_index=True)
@@ -741,7 +745,7 @@ def commit_segment(
     # reference's precomputed weight cache, SURVEY.md §4.1): derived from
     # the written blocks' metadata columns only (no payload decode) ---
     terms_df = (
-        spark.read.parquet(paths.seg(paths.postings, s))
+        _read_table(spark, paths.seg(paths.postings, s))
         .groupBy("bucket", "term")
         .agg(F.sum("n_docs").alias("df"))
     )
@@ -798,10 +802,21 @@ def _write_terms(spark: SparkSession, terms_df: DataFrame,
       counting job) to size the range partitioning."""
     seg_terms = paths.seg(paths.terms, s)
     _atomic_write(terms_df.sortWithinPartitions("bucket", "term"), seg_terms)
+    dst = paths.seg(paths.terms_sorted, s)
+    if _ACTIVE_FORMAT != "parquet":
+        # No parquet directory to footer-count or pyarrow-read under a
+        # custom table format: read the primary back through the
+        # format's registered reader and let the shuffle setting size
+        # the range files.
+        srt = (_read_table(spark, seg_terms)
+               .select("term", "df")
+               .repartitionByRange(F.col("term"))
+               .sortWithinPartitions("term"))
+        _atomic_write(srt, dst)
+        return
     n_rows = _parquet_dir_rows(seg_terms)
     n_parts = max(1, -(-n_rows // TERMS_SORTED_ROWS_PER_FILE))
-    dst = paths.seg(paths.terms_sorted, s)
-    if n_parts == 1 and _ACTIVE_FORMAT == "parquet":
+    if n_parts == 1:
         # single-file dictionary: sort + write DRIVER-SIDE (pyarrow) —
         # vocabulary-bounded, the same footing as the tombstone reads.
         # The Spark roundtrip (read-back + range shuffle + write) costs
@@ -953,7 +968,7 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
         ds = ds.join(F.broadcast(dead), "doc_id", "left_anti")
     _atomic_write(ds, paths.seg(paths.doc_stats, 0))
     terms_df = (
-        spark.read.parquet(paths.seg(paths.postings, 0))
+        _read_table(spark, paths.seg(paths.postings, 0))
         .groupBy("bucket", "term").agg(F.sum("n_docs").alias("df"))
     )
     _write_terms(spark, terms_df, paths, 0)
@@ -966,7 +981,7 @@ def _compact_body(spark: SparkSession, src_dir: str, paths: IndexPaths,
     if ts is not None:
         # purged compaction: corpus scalars must reflect the LIVE docs —
         # one aggregation over the just-written (filtered) doc_stats
-        row = spark.read.parquet(paths.seg(paths.doc_stats, 0)).agg(
+        row = _read_table(spark, paths.seg(paths.doc_stats, 0)).agg(
             F.count("*").alias("n"), F.sum("dl").alias("sdl")).first()
         row_count, sum_dl = int(row["n"]), int(row["sdl"] or 0)
     elif "sum_dl" in src_m:
@@ -1313,16 +1328,23 @@ def _atomic_write_parquet(df: DataFrame, path: str) -> None:
 #                                pointer swap IS the atomic commit)
 #   segment=<s> path suffix  ->  partition spec (segment identity column)
 #
-# Register a writer once per process and pass ``table_format=`` to
-# build_index / compact_index; with an Iceberg-enabled Spark session:
+# Register a writer + reader pair once per process and pass
+# ``table_format=`` to build_index / compact_index; with an
+# Iceberg-enabled Spark session:
 #
 #   register_table_writer("iceberg", lambda df, path:
 #       df.writeTo(_table_for(path)).using("iceberg").createOrReplace())
+#   register_table_reader("iceberg", lambda spark, path:
+#       spark.read.table(_table_for(path)))
 #
 # where ``_table_for`` maps the directory layout onto catalog table +
-# partition values. The parquet default keeps this repo runnable anywhere.
+# partition values. The reader covers the build's own read-backs (terms
+# derivation over just-committed postings, purged-scalar aggregation);
+# the parquet default keeps this repo runnable anywhere.
 
 _TABLE_WRITERS: dict = {"parquet": _atomic_write_parquet}
+_TABLE_READERS: dict = {
+    "parquet": lambda spark, path: spark.read.parquet(path)}
 
 
 def register_table_writer(name: str, fn) -> None:
@@ -1330,6 +1352,25 @@ def register_table_writer(name: str, fn) -> None:
     must be atomic-or-invisible (like write-then-rename / a snapshot
     commit): readers may race with it."""
     _TABLE_WRITERS[name] = fn
+
+
+def register_table_reader(name: str, fn) -> None:
+    """Register the matching reader ``fn(spark, path) -> DataFrame`` for
+    the INTRA-BUILD read-backs (a just-committed artifact re-read within
+    the same build/compact — terms derivation, purged-scalar agg). The
+    steady-state QUERY path stays the caller's concern: an Iceberg
+    deployment queries through its catalog, not these helpers."""
+    _TABLE_READERS[name] = fn
+
+
+def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    reader = _TABLE_READERS.get(_ACTIVE_FORMAT)
+    if reader is None:
+        raise ValueError(
+            f"table format {_ACTIVE_FORMAT!r} has no registered reader; "
+            f"call register_table_reader({_ACTIVE_FORMAT!r}, fn) first"
+        )
+    return reader(spark, path)
 
 
 _ACTIVE_FORMAT = "parquet"
@@ -1391,9 +1432,15 @@ def read_manifest(spark: SparkSession, index_dir: str) -> DataFrame:
     mdir = IndexPaths(index_dir).manifest
     names = _committed_marker_names(mdir)
     if not names:
-        # preserve the historical failure mode (AnalysisException names
-        # the missing path) rather than inventing a new error type
-        return spark.read.parquet(os.path.join(mdir, "segment=*"))
+        # No COMMITTED segments. Preserve the historical failure mode
+        # (AnalysisException PATH_NOT_FOUND names the missing path) —
+        # but via a glob that can never match a live writer's
+        # `segment=<n>.__tmp__` staging dir: a bare `segment=*` here
+        # would hand a reader racing the FIRST commit a half-written
+        # marker (same torn-statistics mechanism _committed_marker_names
+        # closes for the committed case).
+        return spark.read.parquet(
+            os.path.join(mdir, "segment=*", "__no_committed_segments__"))
     return spark.read.parquet(*(os.path.join(mdir, d) for d in names))
 
 
@@ -1425,8 +1472,12 @@ def _cached_read(spark: SparkSession, base: str, kind: str) -> DataFrame:
         if paths:
             df = spark.read.option("basePath", base).parquet(*paths)
         else:
+            # No committed segments: historical PATH_NOT_FOUND, through
+            # a glob a `.__tmp__` staging dir can never satisfy (see
+            # read_manifest) — pre-first-commit readers must error, not
+            # scan half-written postings.
             df = spark.read.option("basePath", base).parquet(
-                os.path.join(base, "segment=*")
+                os.path.join(base, "segment=*", "__no_committed_segments__")
             )
         _PLAN_CACHE[key] = df
     return df
