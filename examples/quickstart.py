@@ -68,6 +68,14 @@ def main() -> None:
     top1 = eng.find_topk(["def", "return"], 1).first()["doc_id"]
     eng.explain_score(["def", "return"], top1).show(truncate=False)
 
+    print("== prefix autocomplete (terms_sorted range scan) ==")
+    eng.suggest("re", 5).show(truncate=False)
+
+    print("== MoreLikeThis (tf-idf interesting terms -> BM25) ==")
+    src = corpus.where(F.col("doc_id") == 1).first()
+    eng.more_like_this(src["content"], 5, exclude_doc_id=1) \
+        .show(truncate=False)
+
     print("== resolve (doc store join) ==")
     eng.resolve(eng.find_topk(["class", "import"], 3)) \
         .select("doc_id", "score", "repo", "path", "lang").show(truncate=False)

