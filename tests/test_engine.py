@@ -503,6 +503,86 @@ def test_more_like_this_excludes_source_and_ranks(spark, engine):
         [(r["doc_id"], r["score"]) for r in exp]
 
 
+def test_find_topk_regexp_equals_expanded_find_topk(spark, engine):
+    """RegexpQuery == find_topk over the hand-expanded matching terms
+    (anchored full-term match), and a non-matching pattern returns an
+    empty frame with the stable schema."""
+    eng, docs = engine
+    got = eng.find_topk_regexp("s(park|low)", 10).collect()
+    exp = eng.find_topk(["spark", "slow"], 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in exp] and got
+    none = eng.find_topk_regexp("zz+[0-9]", 10)
+    assert none.count() == 0 and none.columns == ["doc_id", "score"]
+
+
+def test_regexp_literal_prefix_is_conservative(spark):
+    """The extracted prefix must hold for every match of the pattern —
+    quantified trailing literals drop, alternation kills it."""
+    from torchtrajectory_spark.operators.wand import regexp_literal_prefix
+
+    assert regexp_literal_prefix("spark") == "spark"
+    assert regexp_literal_prefix("spa.k") == "spa"
+    assert regexp_literal_prefix("spar?k") == "spa"  # 'r' optional
+    assert regexp_literal_prefix("spa(rk|de)") == "spa"
+    assert regexp_literal_prefix("sp|ark") == ""
+    assert regexp_literal_prefix("sp(ar)|k") == ""  # depth-0 alternation
+    assert regexp_literal_prefix("spar*k") == "spa"
+    assert regexp_literal_prefix("spar{0,2}k") == "spa"
+    assert regexp_literal_prefix("[sz]park") == ""
+
+
+def test_spell_matches_brute_levenshtein_ranking(spark, engine):
+    """Engine.spell == brute-force (dist ASC, df DESC, term ASC) over
+    the tokenized corpus vocabulary, input term excluded."""
+    from collections import Counter
+
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    eng, docs = engine
+    got = [(r["term"], r["dist"], r["df"])
+           for r in eng.spell("sorw", 10, max_edits=2).collect()]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = Counter()
+    for r in docs.select("text").collect():
+        for t in set(tokenize_py(r["text"], "ws")):
+            df[t] += 1
+    cand = [(t, lev("sorw", t), n) for t, n in df.items()
+            if t != "sorw" and lev("sorw", t) <= 2]
+    exp = sorted(cand, key=lambda x: (x[1], -x[2], x[0]))[:10]
+    assert got == exp and len(got) >= 2
+
+
+def test_collapse_equals_per_group_filtered_topk(spark, engine):
+    """Field collapsing == one filtered find_topk(k=1) per group value
+    (both score with index-wide statistics), groups ranked by their
+    best score; and the collapsed docs are group-distinct."""
+    eng, docs = engine
+    terms = ["spark", "join", "window"]
+    got = eng.find_topk_collapse(terms, "lang", 3).collect()
+    langs = [r["lang"] for r in
+             docs.select("lang").distinct().collect() if r["lang"]]
+    best = []
+    for v in langs:
+        rows = eng.find_topk(terms, 1,
+                             where=F.col("lang") == v).collect()
+        if rows:
+            best.append((v, rows[0]["doc_id"], rows[0]["score"]))
+    exp = sorted(best, key=lambda x: (-x[2], x[0]))[:3]
+    assert [(r["value"], r["doc_id"], r["score"]) for r in got] == exp
+    assert len({r["value"] for r in got}) == len(got) and got
+
+
 def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
     """Engine.find_topk_hybrid == hand-computed RRF over its two input
     lists (ranks on u6 scores, doc_id tie-break, 1/(60+r))."""

@@ -201,6 +201,52 @@ class Engine:
             b=self.b, meta=meta,
         )
 
+    def find_topk_regexp(self, pattern: str, k: int = DEFAULT_K,
+                         max_terms: int = 64) -> DataFrame:
+        """Regexp top-k BM25 (Lucene ``RegexpQuery``, scoring boolean
+        rewrite): the anchored pattern expands against the term
+        dictionary (engine-portable regex subset — no backreferences or
+        lookaround; df-descending cap at ``max_terms``) and scores as a
+        multi-term query. Expansion memoized per (pattern, cap)."""
+        from .operators.wand import expand_regexp, topk_bm25_index_regexp
+
+        meta = self._expansion_meta(
+            ("regexp", str(pattern), int(max_terms)),
+            lambda: expand_regexp(self.spark, self.index_dir, pattern,
+                                  max_terms),
+        )
+        return topk_bm25_index_regexp(
+            self.spark, self.index_dir, pattern, k, max_terms=max_terms,
+            buckets=self._buckets, k1=self.k1, b=self.b, meta=meta,
+        )
+
+    def spell(self, term: str, k: int = 5,
+              max_edits: int = 2) -> DataFrame:
+        """Spell suggestion / did-you-mean (Lucene ``DirectSpellChecker``
+        analog): indexed terms within ``max_edits`` Levenshtein edits of
+        ``term`` (the input itself excluded), as (term, dist, df) —
+        dist ASC, df DESC, term ASC."""
+        from .operators.wand import spell_suggest_terms
+
+        return spell_suggest_terms(self.spark, self.index_dir, term, k,
+                                   max_edits)
+
+    def find_topk_collapse(self, terms: list[str], group_col: str,
+                           k: int = DEFAULT_K) -> DataFrame:
+        """Field collapsing (Lucene grouping / Elasticsearch ``collapse``
+        analog): the k best GROUP VALUES of a doc-store metadata column,
+        each represented by its best-scoring matching document —
+        (value, doc_id, score), exact semantics (every match scored, not
+        a post-filter over a retrieved top-N)."""
+        from .operators.grouping import collapse_topk
+
+        sq = sorted({str(t) for t in terms})
+        return collapse_topk(
+            self.spark, self.index_dir, sq, group_col, k,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(sq),
+        )
+
     def _expansion_meta(self, key: tuple, expand) -> IndexMeta:
         """Memoized MultiTermQuery expansion: one dictionary scan per
         (kind, pattern, cap) per Engine; warm repeats skip it."""

@@ -308,6 +308,42 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
                       allowed=allowed, blocked=blocked)
 
 
+def _segment_scores_all(pdf: pd.DataFrame, q: list[str], meta: IndexMeta,
+                        k1: float, b: float,
+                        blocked: np.ndarray | None = None) -> pd.DataFrame:
+    """BM25 score for EVERY live document in one segment matching any
+    query term — no top-k pruning. The exact-scoring base of operators
+    whose output is not a global top-k heap (grouping/collapse), where a
+    doc outside the global top-k can still be its group's best. Cost is
+    bounded by the query terms' posting sizes (the boolean-OR cost
+    class); the block-max UB machinery is deliberately unused — every
+    match must be scored for its group to compete."""
+    idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
+    term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
+    use = {t: term_arrays[t] for t in q if t in term_arrays}
+    if not use:
+        return pd.DataFrame(_EMPTY_TOPK)
+    docs = np.unique(np.concatenate([tp.docs for tp in use.values()]))
+    if blocked is not None and blocked.size and docs.size:
+        from .index import sorted_isin
+
+        docs = docs[~sorted_isin(blocked, docs)]
+    if docs.size == 0:
+        return pd.DataFrame(_EMPTY_TOPK)
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for term in sorted(use):
+        tp = use[term]
+        pos = np.clip(np.searchsorted(tp.docs, docs), 0,
+                      tp.docs.size - 1)
+        hit = tp.docs[pos] == docs
+        hit_idx = pos[hit]
+        if hit_idx.size:
+            tfs, dls = tp.tf_dl_at(hit_idx)
+            scores[hit] += idf[term] * tf_sat_np(tfs, dls, meta.avgdl,
+                                                 k1, b)
+    return pd.DataFrame({"doc_id": docs, "score": scores})
+
+
 def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
                        k: int, meta: IndexMeta,
                        k1: float, b: float,
@@ -834,6 +870,93 @@ def expand_fuzzy(spark: SparkSession, index_dir: str, term: str,
     return _expand_terms(spark, index_dir, pred, max_terms)
 
 
+def regexp_literal_prefix(pattern: str) -> str:
+    """Required literal prefix of a regex over tokenizer terms, for use
+    as a range pre-filter (Lucene derives the same bound from its
+    automaton's common prefix). Conservative — the returned prefix must
+    hold for EVERY match, never excluding one: any top-level alternation
+    kills the prefix entirely, the literal run stops at the first regex
+    metacharacter, and a trailing literal consumed by an optional
+    quantifier (``?``/``*``/``{``) is dropped."""
+    p = str(pattern)
+    lit = []
+    stop = len(p)
+    for i, ch in enumerate(p):
+        if (ch.isalnum() and ch == ch.lower()) or ch == "_":
+            lit.append(ch)
+            continue
+        if lit and ch in "*?{":
+            lit.pop()  # quantifier makes the previous char optional
+        stop = i
+        break
+    # a top-level (group-depth-0) alternation anywhere lets a match
+    # bypass the literal run entirely; one nested inside a group that
+    # opens after the run cannot (the group as a whole follows it)
+    depth = 0
+    for ch in p[stop:]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif ch == "|" and depth == 0:
+            return ""
+    return "".join(lit)
+
+
+def expand_regexp(spark: SparkSession, index_dir: str, pattern: str,
+                  max_terms: int = 64) -> dict[str, float]:
+    """Dictionary expansion for regexp queries (Lucene ``RegexpQuery``):
+    every indexed term FULLY matching ``pattern`` (anchored, Lucene
+    semantics), with its global df, df-descending cap at ``max_terms``.
+    Restricted to the regex subset that parses identically under Java
+    (Spark ``rlike``) and RE2 (DuckDB ``regexp_full_match``): literals,
+    ``.``, character classes, alternation, grouping, quantifiers — no
+    backreferences or lookaround. A required literal prefix (see
+    :func:`regexp_literal_prefix`) prunes via the ``terms_sorted`` range
+    scan; prefix-less patterns scan the vocabulary-sized dictionary
+    (Lucene's own leading-wildcard cost class)."""
+    from .index import read_terms_sorted
+
+    pred = F.col("term").rlike("^(?:" + str(pattern) + ")$")
+    lit = regexp_literal_prefix(pattern)
+    if lit:
+        srt = read_terms_sorted(spark, index_dir)
+        if srt is not None:
+            return _expand_from(srt, _prefix_range_pred(lit) & pred,
+                                max_terms)
+        pred = F.col("term").startswith(lit) & pred
+    return _expand_terms(spark, index_dir, pred, max_terms)
+
+
+def spell_suggest_terms(spark: SparkSession, index_dir: str, term: str,
+                        k: int = 5, max_edits: int = 2) -> DataFrame:
+    """Spell suggestion (Lucene ``DirectSpellChecker`` analog): indexed
+    terms within ``max_edits`` Levenshtein edits of ``term`` (the input
+    itself excluded), as (term, dist, df) ordered dist ASC, df DESC,
+    term ASC — closer corrections first, popularity breaks ties. The
+    same JVM-side length-window + codegen ``levenshtein`` scan as
+    :func:`expand_fuzzy`, over the ~vocabulary-sized dictionary."""
+    q = str(term)
+    d = int(max_edits)
+    pred = (
+        (F.length("term") >= F.lit(len(q) - d))
+        & (F.length("term") <= F.lit(len(q) + d))
+        & (F.col("term") != q)
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= d)
+    )
+    return (
+        read_terms(spark, index_dir)
+        .where(pred)
+        .groupBy("term").agg(F.sum("df").cast("bigint").alias("df"))
+        .withColumn("dist",
+                    F.levenshtein(F.col("term"), F.lit(q)).cast("int"))
+        .orderBy(F.col("dist").asc(), F.col("df").desc(),
+                 F.col("term").asc())
+        .limit(int(k))
+        .select("term", "dist", "df")
+    )
+
+
 def topk_bm25_index_prefix(
     spark: SparkSession,
     index_dir: str,
@@ -877,6 +1000,29 @@ def topk_bm25_index_wildcard(
     return _topk_expansion(
         spark, index_dir,
         lambda: expand_wildcard(spark, index_dir, pattern, max_terms),
+        k, buckets=buckets, k1=k1, b=b, scalars=scalars, meta=meta,
+    )
+
+
+def topk_bm25_index_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    k: int = DEFAULT_K,
+    max_terms: int = 64,
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """Regexp top-k BM25 (Lucene ``RegexpQuery``, scoring boolean
+    rewrite): :func:`expand_regexp` the pattern against the dictionary,
+    then the standard multi-term block-max WAND scan over the
+    expansion."""
+    return _topk_expansion(
+        spark, index_dir,
+        lambda: expand_regexp(spark, index_dir, pattern, max_terms),
         k, buckets=buckets, k1=k1, b=b, scalars=scalars, meta=meta,
     )
 

@@ -690,6 +690,100 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def bm25_topk_regexp_sql(pattern: str, k: int,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Regexp query oracle (Lucene RegexpQuery boolean rewrite): every
+    corpus term FULLY matching the anchored pattern scores as its own
+    query term. ``regexp_full_match`` mirrors the engine's ``^(?:p)$``
+    rlike anchoring; the pattern must stay in the Java/RE2-common
+    subset (the engine's documented contract)."""
+    p = pattern.replace("'", "''")
+    return _bm25_topk_core(f"regexp_full_match(term, '{p}')", k, k1, b)
+
+
+def spell_suggest_sql(term: str, k: int, max_edits: int = 2) -> str:
+    """Spell-suggestion oracle (DirectSpellChecker analog): corpus terms
+    within ``max_edits`` Levenshtein edits of ``term`` (input excluded),
+    (term, dist, df) ordered dist ASC, df DESC, term ASC."""
+    t = term.replace("'", "''")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+),
+terms AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1
+)
+SELECT term, CAST(levenshtein(term, '{t}') AS INT) AS dist, df
+FROM terms
+WHERE term <> '{t}' AND levenshtein(term, '{t}') <= {int(max_edits)}
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT {int(k)}
+""".strip()
+
+
+def collapse_topk_sql(terms: list[str], group_col: str, k: int,
+                      k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Field-collapsing oracle: BM25-score every doc matching any query
+    term (index-wide statistics, same formula as the top-k core), pick
+    each non-NULL group value's best doc (score DESC, doc_id ASC), rank
+    groups (best score DESC, value ASC), limit k."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+),
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+grouped AS (
+  SELECT CAST(d.{group_col} AS VARCHAR) AS value, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.{group_col}
+           ORDER BY s.score DESC, s.doc_id ASC
+         ) AS rn
+  FROM scores s JOIN documents d USING (doc_id)
+  WHERE d.{group_col} IS NOT NULL
+)
+SELECT value, doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM grouped
+WHERE rn = 1
+ORDER BY score DESC, value ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def suggest_prefix_sql(prefix: str, k: int) -> str:
     """Prefix-autocomplete oracle: the k highest-df corpus terms
     starting with ``prefix`` — df = docs containing the term, ties

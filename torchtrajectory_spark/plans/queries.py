@@ -297,6 +297,40 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
         src["text"], K, max_terms=MLT_TERMS, exclude_doc_id=MLT_DOC))
 
 
+REGEXP_Q = "s(can|low|ort)"  # Java/RE2-common subset; expands scan slow sort
+SPELL_Q, SPELL_EDITS = "sart", 2  # typo: part/sort at 1, fast/spark at 2
+COLLAPSE_COL, COLLAPSE_K = "lang", 3
+
+
+def q_topk_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp top-k BM25 (Lucene RegexpQuery, scoring boolean rewrite):
+    REGEXP_Q expands against the term dictionary and scores as a
+    multi-term query."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_regexp(REGEXP_Q, K))
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell suggestion (Lucene DirectSpellChecker analog): indexed
+    terms within SPELL_EDITS Levenshtein edits of the typo SPELL_Q,
+    dist ASC / df DESC / term ASC."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).spell(SPELL_Q, K, max_edits=SPELL_EDITS)
+
+
+def q_collapse_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Lucene grouping / ES collapse analog): the
+    COLLAPSE_K best lang groups for Q_TOPK, each represented by its
+    best-scoring document — exact semantics, every match scored."""
+    idx = ensure_index(spark, sf_dir)
+    out = _engine(spark, idx).find_topk_collapse(Q_TOPK, COLLAPSE_COL,
+                                                 COLLAPSE_K)
+    return out.select(
+        "value", "doc_id",
+        F.round(F.col("score") * 1e6).cast("bigint").alias("score_u6"),
+    )
+
+
 BOOL_MUST, BOOL_MUST_NOT = ["batch"], ["slow"]
 
 
@@ -1075,25 +1109,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_wildcard": q_topk_bm25_wildcard,
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
     "topk_bm25_boolean": q_topk_bm25_boolean,
-    "score_explain": q_score_explain,
     "phrase_near_indexed": q_phrase_near_indexed,
     "phrase_near": q_phrase_near,
-    "topk_bm25_batch": q_topk_bm25_batch,
-    "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
     "topk_bm25_rare": q_topk_bm25_rare,
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
     "suggest_prefix": q_suggest_prefix,        # r5 addition (suggester)
-    "more_like_this": q_more_like_this,  # pos 50 (r5 MLT) — last checked
+    "more_like_this": q_more_like_this,        # r5 addition (MLT)
+    "topk_bm25_regexp": q_topk_bm25_regexp,    # r5 addition (RegexpQuery)
+    "spell_suggest": q_spell_suggest,          # r5 addition (spellcheck)
+    "collapse_lang": q_collapse_lang,  # pos 50 (r5 collapse) — last checked
     # ---- parked tail (positions 51+): ALL driver-green in r04
     # (CORRECTNESS_r04.json), so their evidence stays within the
     # trailing-2-round window while they sit past the 50-row cap this
-    # round. snippets parked to seat the two earlier r5 additions
-    # (snippets_resolved exercises the same operator + the resolved
-    # composition); resolve_topk / train_val_split parked to seat the
-    # late-r5 suggester + MoreLikeThis (both r4-green and UNTOUCHED by
-    # any r5 code change — unlike facet/search/chunk entries, whose r5
-    # fixes keep them in the head). ----
+    # round. Every parked entry is r4-green AND untouched by any r5 code
+    # change (unlike facet/search/chunk/prefix/wildcard entries, whose
+    # r5 fixes keep them in the head); they were parked to seat the
+    # seven r5 additions (snippets_resolved, hybrid_rrf_topk,
+    # suggest_prefix, more_like_this, topk_bm25_regexp, spell_suggest,
+    # collapse_lang). ----
+    "score_explain": q_score_explain,
+    "topk_bm25_batch": q_topk_bm25_batch,
+    "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
     "resolve_topk": q_resolve_topk,
     "train_val_split": q_train_val_split,
     "snippets": q_snippets,
@@ -1166,6 +1203,10 @@ ORACLES: dict[str, str] = {
     "topk_bm25_prefix": oracles.bm25_topk_prefix_sql(PREFIX_Q, K),
     "suggest_prefix": oracles.suggest_prefix_sql(PREFIX_Q, K),
     "more_like_this": oracles.more_like_this_sql(MLT_DOC, K, MLT_TERMS),
+    "topk_bm25_regexp": oracles.bm25_topk_regexp_sql(REGEXP_Q, K),
+    "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
+    "collapse_lang": oracles.collapse_topk_sql(Q_TOPK, COLLAPSE_COL,
+                                               COLLAPSE_K),
     "topk_bm25_wildcard": oracles.bm25_topk_wildcard_sql(WILDCARD_Q, K),
     "score_explain": oracles.bm25_explain_sql(Q_TOPK),
     "topk_bm25_boolean": oracles.bm25_topk_boolean_sql(
