@@ -583,6 +583,62 @@ def test_collapse_equals_per_group_filtered_topk(spark, engine):
     assert len({r["value"] for r in got}) == len(got) and got
 
 
+def test_fielded_topk_matches_brute_per_field_sum(spark, engine, tmp_path):
+    """Multi-field boosted search == brute per-field BM25 (each field
+    with its OWN statistics) boosted and summed per doc — and a doc
+    matching ONLY the low-boost field can still rank (exact match-set
+    combine, not a top-k fusion)."""
+    from collections import Counter
+
+    from torchtrajectory_spark.engine import Engine
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    eng, docs = engine
+    src_idx = str(tmp_path / "src_idx")
+    eng_src = Engine.build(
+        spark, docs, src_idx, id_col="doc_id", text_col="lang",
+        analyzer="ws", n_segments=2, buckets=8,
+    )
+    terms = ["spark", "fr"]
+    got = Engine.find_topk_fielded(
+        {"text": (eng, 1.0), "lang": (eng_src, 2.0)}, terms, 8).collect()
+
+    def brute_scores(col, q):
+        rows = [(r["doc_id"], tokenize_py(r[col], "ws"))
+                for r in docs.select("doc_id", col).collect()]
+        n = float(len(rows))
+        avgdl = sum(len(t) for _, t in rows) / n
+        df = Counter()
+        for _, toks in rows:
+            for t in set(toks):
+                if t in q:
+                    df[t] += 1
+        import math
+        out = {}
+        for did, toks in rows:
+            tf = Counter(toks)
+            s = 0.0
+            for t in q:
+                if tf.get(t) and df.get(t):
+                    idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                    s += idf * tf[t] * (eng.k1 + 1) / (
+                        tf[t] + eng.k1 * (1 - eng.b
+                                          + eng.b * len(toks) / avgdl))
+            if s:
+                out[did] = s
+        return out
+
+    st, sl = brute_scores("text", terms), brute_scores("lang", terms)
+    tot = Counter()
+    for d, s in st.items():
+        tot[d] += 1.0 * s
+    for d, s in sl.items():
+        tot[d] += 2.0 * s
+    exp = sorted(tot.items(), key=lambda x: (-x[1], x[0]))[:8]
+    assert [(r["doc_id"], round(r["score"], 9)) for r in got] == \
+        [(d, round(s, 9)) for d, s in exp] and got
+
+
 def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
     """Engine.find_topk_hybrid == hand-computed RRF over its two input
     lists (ranks on u6 scores, doc_id tie-break, 1/(60+r))."""

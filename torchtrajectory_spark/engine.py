@@ -247,6 +247,30 @@ class Engine:
             meta=self._term_meta(sq),
         )
 
+    @staticmethod
+    def find_topk_fielded(fields: dict, terms: list[str],
+                          k: int = DEFAULT_K) -> DataFrame:
+        """Multi-field boosted search (Lucene ``MultiFieldQueryParser``
+        analog): ``fields`` maps a field name to (Engine, boost) — each
+        field is its own index with its own statistics and (k1, b)
+        similarity, and every query term queries every field:
+        score(doc) = sum over fields of boost * BM25_field. EXACT
+        semantics (each field contributes its full match-set scores, not
+        a top-k fusion); per-field term statistics ride each engine's
+        memo."""
+        from .operators.fielded import combine_fielded
+        from .operators.wand import scores_bm25_index_all
+
+        sq = sorted({str(t) for t in terms})
+        parts = []
+        for _name, (eng, boost) in sorted(fields.items()):
+            s = scores_bm25_index_all(
+                eng.spark, eng.index_dir, sq, buckets=eng._buckets,
+                k1=eng.k1, b=eng.b, meta=eng._term_meta(sq),
+            )
+            parts.append((s, float(boost)))
+        return combine_fielded(parts, k)
+
     def _expansion_meta(self, key: tuple, expand) -> IndexMeta:
         """Memoized MultiTermQuery expansion: one dictionary scan per
         (kind, pattern, cap) per Engine; warm repeats skip it."""

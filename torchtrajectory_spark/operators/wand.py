@@ -411,6 +411,42 @@ def topk_bm25_index(
     )
 
 
+def scores_bm25_index_all(
+    spark: SparkSession,
+    index_dir: str,
+    query_terms: list[str],
+    buckets: int | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    scalars: tuple[float, float] | None = None,
+    meta: IndexMeta | None = None,
+) -> DataFrame:
+    """(doc_id, score) for EVERY live document matching any query term —
+    the exact-scoring scan with no top-k heap (see
+    :func:`_segment_scores_all`). The building block of operators that
+    combine scores ACROSS indexes (multi-field search), where a doc
+    outside one index's top-k can still win the combined ranking. Cost
+    is bounded by the query terms' posting sizes in THIS index."""
+    q = sorted(set(str(t) for t in query_terms))
+    if meta is None:
+        meta = query_term_meta(spark, index_dir, q, buckets, scalars)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "n_docs", "max_tf", "min_dl",
+        "doc_gaps", "tfs", "dls",
+    )
+    dead = tombstone_ids(index_dir)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _segment_scores_all(
+            pdf.drop(columns=["segment"]), q, meta, k1, b, blocked=dead
+        )
+
+    return blocks.groupBy("segment").applyInPandas(
+        lambda key_pdf: run(key_pdf),
+        schema="doc_id bigint, score double",
+    )
+
+
 def topk_bm25_index_many(
     spark: SparkSession,
     index_dir: str,

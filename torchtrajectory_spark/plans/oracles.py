@@ -690,6 +690,70 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def fielded_topk_sql(terms: list[str], fields: dict[str, float], k: int,
+                     k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Multi-field boosted-BM25 oracle (MultiFieldQueryParser analog):
+    one full per-field CTE suite (tok/tf/dl/stats/dfs/scores — each
+    field has its OWN statistics, the Lucene per-field layout), then the
+    boosted union summed per doc. ``fields`` maps a documents column to
+    its boost."""
+    tl = _terms_list(sorted(set(terms)))
+    ctes, units = [], []
+    for col, boost in sorted(fields.items()):
+        ctes.append(f"""
+tok_{col} AS (
+  SELECT doc_id, t.term
+  FROM (
+    SELECT doc_id, unnest(string_split(lower({col}), ' ')) AS term
+    FROM documents
+  ) t
+  WHERE term <> ''
+),
+tf_{col} AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok_{col} GROUP BY 1, 2
+),
+dl_{col} AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok_{col} GROUP BY 1
+),
+stats_{col} AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl_{col}
+),
+dfs_{col} AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf_{col}
+  WHERE term IN ({tl}) GROUP BY 1
+),
+scores_{col} AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / s.avgdl))
+         ) AS score
+  FROM tf_{col} tf
+  JOIN dfs_{col} d USING (term)
+  JOIN dl_{col} dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats_{col} s
+  GROUP BY tf.doc_id
+)""".strip())
+        units.append(
+            f"SELECT doc_id, score * {float(boost)} AS score "
+            f"FROM scores_{col}"
+        )
+    body = ",\n".join(ctes)
+    union = "\n  UNION ALL\n  ".join(units)
+    return f"""
+WITH {body},
+u AS (
+  {union}
+)
+SELECT doc_id, CAST(round(sum(score) * 1e6) AS BIGINT) AS score_u6
+FROM u
+GROUP BY doc_id
+ORDER BY sum(score) DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
 def bm25_topk_regexp_sql(pattern: str, k: int,
                          k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Regexp query oracle (Lucene RegexpQuery boolean rewrite): every
