@@ -583,6 +583,41 @@ def test_collapse_equals_per_group_filtered_topk(spark, engine):
     assert len({r["value"] for r in got}) == len(got) and got
 
 
+def test_find_sorted_matches_brute_length_ranking(spark, engine):
+    """Doc-values sort == brute (token count DESC, doc_id ASC) over the
+    docs matching any query term; ascending flips the order."""
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    eng, docs = engine
+    terms = ["spark", "join"]
+    got = [(r["doc_id"], r["sort_value"])
+           for r in eng.find_sorted(terms, "dl", 7).collect()]
+    rows = [(r["doc_id"], tokenize_py(r["text"], "ws"))
+            for r in docs.select("doc_id", "text").collect()]
+    m = [(d, float(len(t))) for d, t in rows if set(t) & set(terms)]
+    exp = sorted(m, key=lambda x: (-x[1], x[0]))[:7]
+    assert got == exp and got
+    asc = [(r["doc_id"], r["sort_value"])
+           for r in eng.find_sorted(terms, "dl", 7,
+                                    ascending=True).collect()]
+    assert asc == sorted(m, key=lambda x: (x[1], x[0]))[:7]
+
+
+def test_count_matches_brute_boolean(spark, engine):
+    """Engine.count == brute boolean match count, both modes; deleted
+    docs leave the count."""
+    from torchtrajectory_spark.functions.tokenizer import tokenize_py
+
+    eng, docs = engine
+    terms = ["spark", "join"]
+    rows = [(r["doc_id"], set(tokenize_py(r["text"], "ws")))
+            for r in docs.select("doc_id", "text").collect()]
+    n_or = sum(1 for _, t in rows if t & set(terms))
+    n_and = sum(1 for _, t in rows if set(terms) <= t)
+    assert eng.count(terms, "or").first()["n_docs"] == n_or
+    assert eng.count(terms, "and").first()["n_docs"] == n_and
+
+
 def test_fielded_topk_matches_brute_per_field_sum(spark, engine, tmp_path):
     """Multi-field boosted search == brute per-field BM25 (each field
     with its OWN statistics) boosted and summed per doc — and a doc

@@ -352,6 +352,29 @@ class Engine:
         return self.find_topk_boolean(sorted(set(bare)), k,
                                       must=must, must_not=must_not)
 
+    def find_sorted(self, terms: list[str], sort_col: str,
+                    k: int = DEFAULT_K, mode: str = "or",
+                    ascending: bool = False) -> DataFrame:
+        """Doc-values sort (Lucene ``Sort`` analog): the k docs matching
+        the boolean query ordered by a numeric doc-store column instead
+        of relevance — (doc_id, sort_value), NULL values dropped."""
+        from .operators.boolean import sort_by_field
+
+        return sort_by_field(self.spark, self.index_dir, terms, sort_col,
+                             k, mode=mode, ascending=ascending,
+                             buckets=self._buckets)
+
+    def count(self, terms: list[str], mode: str = "or") -> DataFrame:
+        """Total-hits count (Lucene ``TotalHitCountCollector`` analog):
+        one row (n_docs) — the number of live docs matching the boolean
+        query. Rides the same segment-local block decode as ``bool_*``;
+        only per-segment partial counts leave the kernel."""
+        from .operators.boolean import bool_and_index_blocks, bool_or_index_blocks
+
+        fn = bool_or_index_blocks if mode == "or" else bool_and_index_blocks
+        m = fn(self.spark, self.index_dir, terms, self._buckets)
+        return m.agg(F.count("doc_id").alias("n_docs"))
+
     def facet_counts(self, terms: list[str], facet_col: str,
                      k: int = DEFAULT_K, mode: str = "or") -> DataFrame:
         """Facet counts over a boolean match (Lucene facets analog):

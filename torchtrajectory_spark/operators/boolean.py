@@ -152,6 +152,68 @@ def bool_and_index_blocks(spark, index_dir: str, query_terms: list[str],
     return _bool_index_blocks(spark, index_dir, query_terms, "and", buckets)
 
 
+def sort_by_field(spark, index_dir: str, query_terms: list[str],
+                  sort_col: str, k: int = 10, mode: str = "or",
+                  ascending: bool = False,
+                  buckets: int | None = None) -> DataFrame:
+    """Doc-values sort (Lucene ``Sort``/``SortField`` analog): the docs
+    matching the boolean query, ordered by a NUMERIC doc-store column
+    instead of relevance — (doc_id, sort_value), ties doc_id ASC,
+    limit k. Docs with a NULL sort value are dropped (Lucene's
+    missing-values-last policy, taken to its top-k conclusion).
+
+    Scale shape: the match and the per-segment top-k both happen inside
+    one per-segment cogroup (postings blocks x doc_stats, both pruned
+    and segment-partitioned); only segments x k rows shuffle into the
+    global TakeOrderedAndProject merge.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .wand import _q_blocks
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"sort_by_field: unknown mode {mode!r}")
+    q = sorted({str(t) for t in query_terms})
+    nq = len(q)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "doc_gaps"
+    )
+    stats = read_doc_stats(spark, index_dir).select(
+        "segment", "doc_id",
+        F.col(sort_col).cast("double").alias("sort_value"),
+    )
+    dead = tombstone_ids(index_dir)
+    kk = int(k)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "sort_value": pd.Series(dtype="float64")})
+
+    def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+        match = decode_match_docs(blk, mode, nq)
+        if match is None:
+            return empty
+        if dead is not None and match.size:
+            match = match[~sorted_isin(dead, match)]
+        if match.size == 0 or not len(st):
+            return empty
+        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
+        hit = hit[hit["sort_value"].notna()]
+        if not len(hit):
+            return empty
+        v = hit["sort_value"].to_numpy(dtype=np.float64)
+        order = np.lexsort((hit["doc_id"].to_numpy(),
+                            v if ascending else -v))[:kk]
+        return hit.iloc[order][["doc_id", "sort_value"]]
+
+    per_seg = blocks.groupBy("segment").cogroup(
+        stats.groupBy("segment")
+    ).applyInPandas(run, schema="doc_id bigint, sort_value double")
+    key = (F.col("sort_value").asc() if ascending
+           else F.col("sort_value").desc())
+    return per_seg.orderBy(key, F.col("doc_id").asc()).limit(kk)
+
+
 def facet_counts(spark, index_dir: str, query_terms: list[str],
                  facet_col: str, k: int = 10, mode: str = "or",
                  buckets: int | None = None) -> DataFrame:

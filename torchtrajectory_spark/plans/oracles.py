@@ -690,6 +690,42 @@ def bm25_topk_prefix_sql(prefix: str, k: int,
     return _bm25_topk_core(f"starts_with(term, '{p}')", k, k1, b)
 
 
+def sort_by_field_sql(terms: list[str], k: int, mode: str = "or") -> str:
+    """Doc-values-sort oracle: docs matching the boolean query ordered
+    by token count (the index's dl doc value) DESC, doc_id ASC."""
+    ts = sorted(set(terms))
+    having = (f"HAVING count(DISTINCT term) = {len(ts)}"
+              if mode == "and" else "")
+    return f"""
+WITH {TOK_CTE},
+m AS (
+  SELECT doc_id FROM tok WHERE term IN ({_terms_list(ts)})
+  GROUP BY doc_id {having}
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS sort_value FROM tok GROUP BY 1
+)
+SELECT doc_id, sort_value
+FROM m JOIN dl USING (doc_id)
+ORDER BY sort_value DESC, doc_id ASC
+LIMIT {int(k)}
+""".strip()
+
+
+def count_hits_sql(terms: list[str], mode: str = "or") -> str:
+    """Total-hits oracle: number of docs matching the boolean query."""
+    ts = sorted(set(terms))
+    having = (f"HAVING count(DISTINCT term) = {len(ts)}"
+              if mode == "and" else "")
+    return f"""
+WITH {TOK_CTE}
+SELECT count(*)::BIGINT AS n_docs FROM (
+  SELECT doc_id FROM tok WHERE term IN ({_terms_list(ts)})
+  GROUP BY doc_id {having}
+)
+""".strip()
+
+
 def fielded_topk_sql(terms: list[str], fields: dict[str, float], k: int,
                      k1: float = BM25_K1, b: float = BM25_B) -> str:
     """Multi-field boosted-BM25 oracle (MultiFieldQueryParser analog):

@@ -345,6 +345,21 @@ def q_topk_bm25_fielded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(out)
 
 
+def q_sort_by_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-values sort (Lucene Sort analog): the K longest docs (by the
+    index's dl doc value) matching any Q_TOPK term — ordering by a
+    metadata column instead of relevance."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).find_sorted(Q_TOPK, "dl", K, mode="or")
+
+
+def q_count_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-hits count (Lucene TotalHitCountCollector analog): live
+    docs matching any Q_TOPK term, as one (n_docs) row."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).count(Q_TOPK, mode="or")
+
+
 REGEXP_Q = "s(can|low|ort)"  # Java/RE2-common subset; expands scan slow sort
 SPELL_Q, SPELL_EDITS = "sart", 2  # typo: part/sort at 1, fast/spark at 2
 COLLAPSE_COL, COLLAPSE_K = "lang", 3
@@ -1157,8 +1172,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_wildcard": q_topk_bm25_wildcard,
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
     "phrase_near_indexed": q_phrase_near_indexed,
-    "phrase_near": q_phrase_near,
-    "topk_bm25_rare": q_topk_bm25_rare,
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
     "suggest_prefix": q_suggest_prefix,        # r5 addition (suggester)
@@ -1166,17 +1179,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_regexp": q_topk_bm25_regexp,    # r5 addition (RegexpQuery)
     "spell_suggest": q_spell_suggest,          # r5 addition (spellcheck)
     "collapse_lang": q_collapse_lang,          # r5 addition (collapse)
-    "topk_bm25_fielded": q_topk_bm25_fielded,  # pos 50 (r5) — last checked
+    "topk_bm25_fielded": q_topk_bm25_fielded,  # r5 addition (multi-field)
+    "sort_by_len": q_sort_by_len,              # r5 addition (doc-values sort)
+    "count_hits": q_count_hits,  # pos 50 (r5 total-hits) — last checked
     # ---- parked tail (positions 51+): ALL driver-green in r04
     # (CORRECTNESS_r04.json), so their evidence stays within the
     # trailing-2-round window while they sit past the 50-row cap this
     # round. Every parked entry is r4-green AND untouched by any r5 code
     # change (unlike facet/search/chunk/prefix/wildcard entries, whose
     # r5 fixes keep them in the head); they were parked to seat the
-    # eight r5 additions (snippets_resolved, hybrid_rrf_topk,
+    # ten r5 additions (snippets_resolved, hybrid_rrf_topk,
     # suggest_prefix, more_like_this, topk_bm25_regexp, spell_suggest,
-    # collapse_lang, topk_bm25_fielded). ----
+    # collapse_lang, topk_bm25_fielded, sort_by_len, count_hits). ----
     "topk_bm25_boolean": q_topk_bm25_boolean,
+    "phrase_near": q_phrase_near,
+    "topk_bm25_rare": q_topk_bm25_rare,
     "score_explain": q_score_explain,
     "topk_bm25_batch": q_topk_bm25_batch,
     "topk_bm25_batch_filtered": q_topk_bm25_batch_filtered,
@@ -1255,6 +1272,8 @@ ORACLES: dict[str, str] = {
     "topk_bm25_regexp": oracles.bm25_topk_regexp_sql(REGEXP_Q, K),
     "topk_bm25_fielded": oracles.fielded_topk_sql(FIELDED_Q,
                                                   FIELDED_BOOSTS, K),
+    "sort_by_len": oracles.sort_by_field_sql(Q_TOPK, K),
+    "count_hits": oracles.count_hits_sql(Q_TOPK),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
     "collapse_lang": oracles.collapse_topk_sql(Q_TOPK, COLLAPSE_COL,
                                                COLLAPSE_K),
