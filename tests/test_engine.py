@@ -527,6 +527,13 @@ def test_regexp_literal_prefix_is_conservative(spark):
     assert regexp_literal_prefix("spa(rk|de)") == "spa"
     assert regexp_literal_prefix("sp|ark") == ""
     assert regexp_literal_prefix("sp(ar)|k") == ""  # depth-0 alternation
+    # escaped metachars are literals: \( opens no group, so the | after
+    # it is top-level and a match may bypass the prefix entirely
+    assert regexp_literal_prefix(r"abc\(x|y") == ""
+    assert regexp_literal_prefix(r"abc\|d") == "abc"  # \| is a literal pipe
+    # inside a character class, ( | ) are literal — no depth, no kill
+    assert regexp_literal_prefix("abc[(|)]") == "abc"
+    assert regexp_literal_prefix("abc[]x]|y") == ""  # leading ] literal
     assert regexp_literal_prefix("spar*k") == "spa"
     assert regexp_literal_prefix("spar{0,2}k") == "spa"
     assert regexp_literal_prefix("[sz]park") == ""

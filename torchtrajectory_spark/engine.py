@@ -371,6 +371,8 @@ class Engine:
         only per-segment partial counts leave the kernel."""
         from .operators.boolean import bool_and_index_blocks, bool_or_index_blocks
 
+        if mode not in ("or", "and"):
+            raise ValueError(f"count: unknown mode {mode!r}")
         fn = bool_or_index_blocks if mode == "or" else bool_and_index_blocks
         m = fn(self.spark, self.index_dir, terms, self._buckets)
         return m.agg(F.count("doc_id").alias("n_docs"))

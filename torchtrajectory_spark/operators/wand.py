@@ -927,15 +927,34 @@ def regexp_literal_prefix(pattern: str) -> str:
         break
     # a top-level (group-depth-0) alternation anywhere lets a match
     # bypass the literal run entirely; one nested inside a group that
-    # opens after the run cannot (the group as a whole follows it)
+    # opens after the run cannot (the group as a whole follows it).
+    # The depth scan must see the regex's real structure: an escaped
+    # metachar is a literal (\( opens nothing, \| alternates nothing)
+    # and everything inside a [...] class is literal.
     depth = 0
-    for ch in p[stop:]:
+    i, n = stop, len(p)
+    while i < n:
+        ch = p[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "[":
+            i += 1
+            if i < n and p[i] == "^":
+                i += 1
+            if i < n and p[i] == "]":  # leading ] is literal
+                i += 1
+            while i < n and p[i] != "]":
+                i += 2 if p[i] == "\\" else 1
+            i += 1
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth = max(depth - 1, 0)
         elif ch == "|" and depth == 0:
             return ""
+        i += 1
     return "".join(lit)
 
 

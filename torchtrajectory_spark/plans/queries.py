@@ -310,7 +310,13 @@ def ensure_source_index(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = os.path.join(tempfile.gettempdir(), f"tts_srcindex_{tag}")
     marker = os.path.join(index_dir, "manifest")
-    need = not os.path.isdir(marker)
+    # same completeness guard as ensure_index: a crashed partial build
+    # (marker dir exists with fewer committed segments) must rebuild
+    need = not (
+        os.path.isdir(marker)
+        and len([d for d in os.listdir(marker)
+                 if re.fullmatch(r"segment=\d+", d)]) >= _INDEX_SEGMENTS
+    )
     if not need:
         try:
             cfg = read_index_config(index_dir)
