@@ -705,3 +705,111 @@ def test_find_topk_hybrid_matches_manual_rrf(spark, engine):
     exp = sorted(w.items(), key=lambda t: (-t[1], t[0]))[:k]
     exp = [(d, round(v * 1e6)) for d, v in exp]
     assert got == exp
+
+
+# ---------------- r5 additions: searchAfter / msm / synonym / ranges ----
+
+
+def test_search_after_pages_tile_the_ranking(spark, engine):
+    """Pages via the (score, doc_id) cursor tile the deep ranking
+    exactly: page1 + page2(after=page1[-1]) == find_topk(2k)."""
+    eng, _ = engine
+    q, k = ["spark", "join"], 5
+    deep = eng.find_topk(q, 2 * k).collect()
+    page1 = eng.find_topk(q, k).collect()
+    after = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = eng.find_topk(q, k, after=after).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1 + page2]
+    exp = [(r["doc_id"], r["score"]) for r in deep]
+    assert got == exp  # rank AND score identity, fp-exact
+
+
+def test_search_after_filtered_rejected(spark, engine):
+    eng, _ = engine
+    with pytest.raises(ValueError, match="after-cursor"):
+        eng.find_topk(["spark"], 5, where=F.col("lang") == "en",
+                      after=(1.0, 0))
+
+
+def test_msm_bounds_and_degenerate_or(spark, engine):
+    """m=1 == the plain OR ranking (fp-exact); every m=2 hit matches
+    >= 2 distinct terms; m out of range raises."""
+    eng, docs = engine
+    q = ["spark", "query", "sort"]
+    or_rows = [(r["doc_id"], r["score"])
+               for r in eng.find_topk(q, 8).collect()]
+    m1_rows = [(r["doc_id"], r["score"])
+               for r in eng.find_topk_msm(q, 1, 8).collect()]
+    assert m1_rows == or_rows
+    hits2 = eng.find_topk_msm(q, 2, 8).collect()
+    assert hits2
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.where(
+                 F.col("doc_id").isin([h["doc_id"] for h in hits2]))
+             .collect()}
+    for h in hits2:
+        toks = set(texts[h["doc_id"]].lower().split())
+        assert len(toks & set(q)) >= 2
+    with pytest.raises(ValueError, match="out of range"):
+        eng.find_topk_msm(q, 4, 8)
+    with pytest.raises(ValueError, match="out of range"):
+        eng.find_topk_msm(q, 0, 8)
+
+
+def test_synonym_singleton_groups_equal_plain_query(spark, engine):
+    """All-singleton groups degrade SynonymQuery to the plain multi-term
+    ranking (tf unchanged, df blended over one member == its own df)."""
+    eng, _ = engine
+    q = ["spark", "join"]
+    plain = [(r["doc_id"], round(r["score"], 9))
+             for r in eng.find_topk(q, 8).collect()]
+    syn = [(r["doc_id"], round(r["score"], 9))
+           for r in eng.find_topk_synonyms([[t] for t in q], 8).collect()]
+    assert syn == plain
+
+
+def test_synonym_blends_df_and_sums_tf(spark, engine):
+    """A two-member group scores with df = max member df and tf summed —
+    checked against a brute-force pandas reference."""
+    import math
+
+    eng, docs = engine
+    g = ["spark", "scan"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfs = {t: sum(1 for tk in toks.values() if t in tk) for t in g}
+    idf = math.log(1 + (n - max(dfs.values()) + 0.5)
+                   / (max(dfs.values()) + 0.5))
+    k1, b = eng.k1, eng.b
+    exp = {}
+    for d, tk in toks.items():
+        tf = sum(tk.count(t) for t in g)
+        if tf:
+            dl = len(tk)
+            exp[d] = idf * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    got = [(r["doc_id"], r["score"])
+           for r in eng.find_topk_synonyms([g], 6).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_facet_ranges_partitions_the_match_set(spark, engine):
+    """Range-facet counts sum to the boolean match count and bucket
+    edges are width-aligned; NULL/zero-width guarded."""
+    eng, _ = engine
+    q = ["spark", "join"]
+    rows = eng.facet_ranges(q, "dl", 25.0).collect()
+    assert rows
+    total = sum(r["n_docs"] for r in rows)
+    n_match = eng.count(q, mode="or").collect()[0]["n_docs"]
+    assert total == n_match
+    los = [r["bucket_lo"] for r in rows]
+    assert los == sorted(los)
+    assert all(lo % 25.0 == 0 for lo in los)
+    with pytest.raises(ValueError, match="width"):
+        eng.facet_ranges(q, "dl", 0.0)

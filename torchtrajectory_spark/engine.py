@@ -103,15 +103,25 @@ class Engine:
 
     # --------------------------------------------------- query API -----
     def find_topk(self, terms: list[str], k: int = DEFAULT_K,
-                  where: Column | None = None) -> DataFrame:
+                  where: Column | None = None,
+                  after: tuple[float, int] | None = None) -> DataFrame:
         """Top-k BM25 (findTopK). ``where`` is a metadata predicate over
-        the doc_stats columns — the in-loop constraint (F2).
+        the doc_stats columns — the in-loop constraint (F2). ``after`` is
+        a (score, doc_id) cursor — the last row of the previous page —
+        for deep pagination (Lucene ``searchAfter``): only docs ranking
+        strictly after it are returned, at page-one cost (the pruned scan
+        never holds a k*page heap).
 
         Term statistics are fetched per QUERY (``query_term_meta``: a
         bucket-pruned dictionary lookup for just the query terms) — never
         the full dictionary, which is unbounded driver state at the
         10^12-file / hash-bounded-vocabulary posture (SURVEY.md §7.6)."""
         if where is not None:
+            if after is not None:
+                raise ValueError(
+                    "find_topk: after-cursor pagination over a filtered "
+                    "query is not implemented — paginate the unfiltered "
+                    "ranking or tighten the predicate instead")
             return topk_bm25_index_filtered(
                 self.spark, self.index_dir, terms, k, where,
                 buckets=self._buckets, k1=self.k1, b=self.b,
@@ -120,7 +130,37 @@ class Engine:
         return topk_bm25_index(
             self.spark, self.index_dir, terms, k,
             buckets=self._buckets, k1=self.k1, b=self.b,
-            meta=self._term_meta(terms),
+            meta=self._term_meta(terms), after=after,
+        )
+
+    def find_topk_msm(self, terms: list[str], min_should_match: int,
+                      k: int = DEFAULT_K) -> DataFrame:
+        """Top-k BM25 over docs matching at least ``min_should_match``
+        distinct query terms (Lucene
+        ``BooleanQuery.setMinimumNumberShouldMatch``); m=1 is the plain
+        OR ranking, m=len(terms) the AND ranking."""
+        from .operators.queryext import topk_bm25_index_msm
+
+        sq = sorted({str(t) for t in terms})
+        return topk_bm25_index_msm(
+            self.spark, self.index_dir, sq, min_should_match, k,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(sq),
+        )
+
+    def find_topk_synonyms(self, groups: list[list[str]],
+                           k: int = DEFAULT_K) -> DataFrame:
+        """Top-k BM25 where each group scores as ONE pseudo-term (Lucene
+        ``SynonymQuery``): tf = sum of member tfs, df = max member df —
+        an alias set never double-counts idf the way a boolean OR would.
+        Single-term groups are plain terms, so mixed queries compose."""
+        from .operators.queryext import topk_bm25_index_synonym
+
+        all_terms = sorted({str(t) for g in groups for t in g})
+        return topk_bm25_index_synonym(
+            self.spark, self.index_dir, groups, k,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(all_terms),
         )
 
     def find_topk_many(self, queries: dict[str, list[str]],
@@ -386,6 +426,17 @@ class Engine:
 
         return facet_counts(self.spark, self.index_dir, terms, facet_col,
                             k=k, mode=mode, buckets=self._buckets)
+
+    def facet_ranges(self, terms: list[str], facet_col: str, width: float,
+                     mode: str = "or") -> DataFrame:
+        """Numeric range facet / histogram aggregation over a boolean
+        match: (bucket_lo, n_docs) per non-empty ``width``-wide bucket of
+        a numeric doc-store column (``dl`` — the index's own doc value —
+        always works), bucket ASC."""
+        from .operators.boolean import facet_ranges
+
+        return facet_ranges(self.spark, self.index_dir, terms, facet_col,
+                            width, mode=mode, buckets=self._buckets)
 
     def highlight(self, result: DataFrame, docs: DataFrame,
                   terms: list[str], width: int = 5,

@@ -272,3 +272,69 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
         .orderBy(F.col("n_docs").desc(), F.col("value").asc_nulls_last())
         .limit(int(k))
     )
+
+
+def facet_ranges(spark, index_dir: str, query_terms: list[str],
+                 facet_col: str, width: float, mode: str = "or",
+                 buckets: int | None = None) -> DataFrame:
+    """Numeric range facet over a boolean match (Lucene
+    ``LongRangeFacetCounts`` / Elasticsearch ``histogram`` aggregation
+    analog): docs matching the query bucketed by
+    ``floor(value / width) * width`` over a NUMERIC doc-store column
+    (including the index's own ``dl`` doc value), one (bucket_lo,
+    n_docs) row per non-empty bucket, bucket ASC. NULL values drop
+    (no bucket to assign).
+
+    Scale shape: identical to :func:`facet_counts` — match + tally
+    inside one per-segment cogroup, only (bucket, partial_count) rows
+    shuffle, bucket-cardinality-sized (corpus range / width), never
+    corpus-sized.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .wand import _q_blocks
+
+    if mode not in ("or", "and"):
+        raise ValueError(f"facet_ranges: unknown mode {mode!r}")
+    w = float(width)
+    if not w > 0:
+        raise ValueError(f"facet_ranges: width must be > 0, got {width!r}")
+    q = sorted({str(t) for t in query_terms})
+    nq = len(q)
+    blocks = _q_blocks(spark, index_dir, q, buckets).select(
+        "segment", "term", "doc_gaps"
+    )
+    stats = read_doc_stats(spark, index_dir).select(
+        "segment", "doc_id", F.col(facet_col).cast("double").alias("v")
+    )
+    dead = tombstone_ids(index_dir)
+
+    def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"bucket_lo": pd.Series(dtype="float64"),
+                              "cnt": pd.Series(dtype="int64")})
+        match = decode_match_docs(blk, mode, nq)
+        if match is None:
+            return empty
+        if dead is not None and match.size:
+            match = match[~sorted_isin(dead, match)]
+        if match.size == 0 or not len(st):
+            return empty
+        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
+        v = hit["v"].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return empty
+        lo = np.floor(v / w) * w
+        uniq, cnt = np.unique(lo, return_counts=True)
+        return pd.DataFrame({"bucket_lo": uniq,
+                             "cnt": cnt.astype(np.int64)})
+
+    per_seg = blocks.groupBy("segment").cogroup(
+        stats.groupBy("segment")
+    ).applyInPandas(run, schema="bucket_lo double, cnt bigint")
+    return (
+        per_seg.groupBy("bucket_lo").agg(F.sum("cnt").alias("n_docs"))
+        .orderBy(F.col("bucket_lo").asc())
+    )

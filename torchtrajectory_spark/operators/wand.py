@@ -218,14 +218,25 @@ _EMPTY_TOPK = {"doc_id": pd.Series(dtype="int64"),
 def _scan_topk(term_arrays: dict, q: list[str], idf: dict, k: int,
                meta: IndexMeta, k1: float, b: float,
                allowed: np.ndarray | None = None,
-               blocked: np.ndarray | None = None) -> pd.DataFrame:
+               blocked: np.ndarray | None = None,
+               after: tuple[float, int] | None = None) -> pd.DataFrame:
     """UB-ordered chunked top-k scan over prebuilt term arrays (the
     block-max WAND kernel, factored out so the batch path can reuse one
     set of decoded postings across queries).
 
     ``blocked`` (sorted doc_ids) = tombstoned docs: dropped from the
     candidate set BEFORE the UB ordering (mask semantics — scores keep
-    index-wide statistics until compaction purges the postings)."""
+    index-wide statistics until compaction purges the postings).
+
+    ``after`` = (score, doc_id) cursor (Lucene ``searchAfter``): only
+    docs STRICTLY after the cursor in (score DESC, doc_id ASC) order may
+    enter the heap — deep pagination without deep k. Scored docs are
+    gated AFTER scoring (every exact score is already computed for the
+    chunk), so UB ordering, theta pruning and block skipping all keep
+    working; the heap just never admits page-(<=cursor) rows. One extra
+    pruning lever falls out for free: any candidate whose UB is below
+    the cursor score can still qualify (score < cursor), so no UB-side
+    cut is taken — correctness over cleverness."""
     use = {t: term_arrays[t] for t in q if t in term_arrays}
     if not use:
         return pd.DataFrame(_EMPTY_TOPK)
@@ -280,6 +291,10 @@ def _scan_topk(term_arrays: dict, q: list[str], idf: dict, k: int,
                 tfs, dls = tp.tf_dl_at(hit_idx)
                 contrib = idf[term] * tf_sat_np(tfs, dls, meta.avgdl, k1, b)
                 scores[hit] += contrib
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            ok = (scores < a_s) | ((scores == a_s) & (dchunk > a_d))
+            dchunk, scores = dchunk[ok], scores[ok]
         topk_docs = np.concatenate([topk_docs, dchunk])
         topk_scores = np.concatenate([topk_scores, scores])
         # keep only current top-k (score DESC, doc ASC)
@@ -293,7 +308,8 @@ def _scan_topk(term_arrays: dict, q: list[str], idf: dict, k: int,
 def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
                   k1: float, b: float,
                   allowed: np.ndarray | None = None,
-                  blocked: np.ndarray | None = None) -> pd.DataFrame:
+                  blocked: np.ndarray | None = None,
+                  after: tuple[float, int] | None = None) -> pd.DataFrame:
     """Exact top-k for one segment: UB-ordered chunked scan, early stop,
     per-block lazy payload decode.
 
@@ -305,7 +321,7 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
     term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
     return _scan_topk(term_arrays, q, idf, k, meta, k1, b,
-                      allowed=allowed, blocked=blocked)
+                      allowed=allowed, blocked=blocked, after=after)
 
 
 def _segment_scores_all(pdf: pd.DataFrame, q: list[str], meta: IndexMeta,
@@ -381,8 +397,14 @@ def topk_bm25_index(
     k1: float = BM25_K1,
     b: float = BM25_B,
     scalars: tuple[float, float] | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
-    """Top-k BM25 from the compressed index. Returns (doc_id, score)."""
+    """Top-k BM25 from the compressed index. Returns (doc_id, score).
+
+    ``after`` = (score, doc_id) cursor for deep pagination (Lucene
+    ``searchAfter``): returns the top-k of the docs ranking STRICTLY
+    after the cursor under (score DESC, doc_id ASC). Per-segment cost is
+    the same pruned scan as page one — never a k*page heap."""
     q = sorted(set(str(t) for t in query_terms))
     if meta is None:
         meta = query_term_meta(spark, index_dir, q, buckets, scalars)
@@ -398,7 +420,8 @@ def topk_bm25_index(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk(
-            pdf.drop(columns=["segment"]), q, k, meta, k1, b, blocked=dead
+            pdf.drop(columns=["segment"]), q, k, meta, k1, b, blocked=dead,
+            after=after,
         )
 
     per_seg = blocks.groupBy("segment").applyInPandas(

@@ -1252,3 +1252,187 @@ def bm25_topk_purged_sql(terms: list[str], k: int, del_pred_sql: str,
     tl = _terms_list(sorted(set(terms)))
     return _bm25_topk_core(f"term IN ({tl})", k, k1, b,
                            doc_where=f"NOT ({del_pred_sql})")
+
+
+def bm25_topk_after_sql(terms: list[str], k: int, page: int = 2,
+                        k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """searchAfter oracle: page ``page`` of the ranking = rows
+    (page-1)*k+1 .. page*k under (score DESC, doc_id ASC) — what the
+    engine's (score, doc_id) cursor must reproduce without a deep heap."""
+    tl = _terms_list(sorted(set(terms)))
+    lo, hi = (int(page) - 1) * int(k), int(page) * int(k)
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM ranked
+WHERE rn > {lo} AND rn <= {hi}
+ORDER BY score DESC, doc_id ASC
+""".strip()
+
+
+def bm25_topk_msm_sql(terms: list[str], m: int, k: int,
+                      k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """minimum-should-match oracle: only docs matching >= ``m`` distinct
+    query terms rank; score is the usual per-term BM25 sum over their
+    matched terms (index-wide statistics)."""
+    tl = _terms_list(sorted(set(terms)))
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(*) >= {int(m)}
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def bm25_topk_synonym_sql(groups: list[list[str]], k: int,
+                          k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """SynonymQuery oracle: each group scores as ONE pseudo-term —
+    tf = sum of member tfs in the doc, df = max of member dfs (Lucene's
+    blended docFreq)."""
+    pairs = sorted({(str(t), gi) for gi, g in enumerate(groups)
+                    for t in g})
+    vals = ", ".join(f"('{t.replace(chr(39), chr(39) * 2)}', {gi})"
+                     for t, gi in pairs)
+    tl = _terms_list(sorted({t for t, _ in pairs}))
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+syn AS (
+  SELECT * FROM (VALUES {vals}) v(term, grp)
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+gdf AS (
+  SELECT syn.grp, max(dfs.df) AS df FROM dfs JOIN syn USING (term) GROUP BY 1
+),
+gtf AS (
+  SELECT tf.doc_id, syn.grp, sum(tf.tf) AS tf
+  FROM tf JOIN syn USING (term) GROUP BY 1, 2
+),
+scores AS (
+  SELECT gtf.doc_id,
+         sum(
+           ln(1 + (stats.n_docs - gdf.df + 0.5) / (gdf.df + 0.5))
+           * gtf.tf * ({k1} + 1)
+           / (gtf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM gtf
+  JOIN gdf USING (grp)
+  JOIN dl ON gtf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY gtf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def facet_ranges_sql(terms: list[str], width: float,
+                     mode: str = "or") -> str:
+    """Range-facet oracle over the ``dl`` doc value (token count):
+    floor(dl / width) * width buckets of docs matching the boolean
+    query, (bucket_lo, n_docs) per non-empty bucket, bucket ASC."""
+    ts = sorted(set(terms))
+    tl = _terms_list(ts)
+    having = (f"HAVING count(DISTINCT term) = {len(ts)}"
+              if mode == "and" else "")
+    w = float(width)
+    return f"""
+WITH {TOK_CTE},
+m AS (
+  SELECT doc_id FROM tok WHERE term IN ({tl}) GROUP BY doc_id {having}
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+)
+SELECT floor(dl.dl / {w}) * {w} AS bucket_lo,
+       count(*) AS n_docs
+FROM m JOIN dl USING (doc_id)
+GROUP BY 1
+ORDER BY bucket_lo ASC
+""".strip()
+
+
+def date_histogram_sql(event_type: str) -> str:
+    """Date-histogram oracle: per-day event counts + distinct users for
+    one event type (Elasticsearch ``date_histogram`` aggregation analog;
+    string day + integer counts only — engine-portable encodings,
+    order-independent aggregates)."""
+    et = event_type.replace("'", "''")
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type = '{et}'
+GROUP BY 1
+ORDER BY day ASC
+""".strip()

@@ -366,6 +366,66 @@ def q_count_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine(spark, idx).count(Q_TOPK, mode="or")
 
 
+MSM_M = 2                                    # >= 2 of the Q_AND terms
+SYN_GROUPS = [["spark", "scan"], ["join"]]   # (spark|scan) blended + join
+FACET_RANGE_WIDTH = 25.0                     # dl histogram bucket width
+DATE_HIST_TYPE = "click"
+
+
+def q_search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep pagination (Lucene searchAfter): page 2 of the Q_TOPK
+    ranking via the (score, doc_id) cursor of page 1's last row — the
+    engine never holds a 2k heap. Page 1 is k driver-side rows (bounded
+    cursor state, exactly what a search UI carries between requests)."""
+    idx = ensure_index(spark, sf_dir)
+    eng = _engine(spark, idx)
+    page1 = eng.find_topk(Q_TOPK, K).collect()
+    last = page1[-1]
+    return _score_u6(eng.find_topk(
+        Q_TOPK, K, after=(float(last["score"]), int(last["doc_id"]))))
+
+
+def q_topk_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum-should-match ranking: docs matching >= MSM_M distinct
+    Q_AND terms, scored as the BM25 sum over their matched terms."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_msm(Q_AND, MSM_M, K))
+
+
+def q_topk_bm25_synonym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SynonymQuery ranking: (spark|scan) scores as one pseudo-term
+    (tf summed, df blended to the max member df) plus the plain term
+    join."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_synonyms(SYN_GROUPS, K))
+
+
+def q_facet_dl_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range facet: FACET_RANGE_WIDTH-wide dl (token count)
+    histogram of the docs matching any Q_TOPK term."""
+    idx = ensure_index(spark, sf_dir)
+    return _engine(spark, idx).facet_ranges(Q_TOPK, "dl",
+                                            FACET_RANGE_WIDTH, mode="or")
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-histogram aggregation over the events table: per-day event
+    count + distinct users for one event type — pure Catalyst (one scan,
+    one partial-agg shuffle on day; count-distinct is the only exact
+    pass, Elasticsearch date_histogram + cardinality analog)."""
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type") == DATE_HIST_TYPE)
+        # bucket as a yyyy-MM-dd STRING: engine-portable (pandas datetime
+        # resolutions differ between Spark/Arrow [ns] and DuckDB [us] and
+        # hash differently even when equal)
+        .groupBy(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .orderBy(F.col("day").asc())
+    )
+
+
 REGEXP_Q = "s(can|low|ort)"  # Java/RE2-common subset; expands scan slow sort
 SPELL_Q, SPELL_EDITS = "sart", 2  # typo: part/sort at 1, fast/spark at 2
 COLLAPSE_COL, COLLAPSE_K = "lang", 3
@@ -1168,12 +1228,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fresh driver evidence) plus r5 additions ----
     "facet_lang": q_facet_lang,              # NULL ordering fixed in r5
     "topk_chunks": q_topk_chunks,            # uid packing widened in r5
-    "chunk_docs": q_chunk_docs,
     "search_simple": q_search_simple,        # pattern rejection in r5
     "topk_bm25_deleted": q_topk_bm25_deleted,  # tombstone reads hardened
-    "topk_bm25_purged": q_topk_bm25_purged,
     "topk_bm25_indexed": q_topk_bm25_indexed,  # manifest reads hardened
-    "topk_bm25": q_topk_bm25,
+    "search_after_page2": q_search_after_page2,  # r5 addition (searchAfter)
+    "topk_bm25_msm": q_topk_bm25_msm,            # r5 addition (msm)
+    "topk_bm25_synonym": q_topk_bm25_synonym,    # r5 addition (SynonymQuery)
     "topk_bm25_prefix": q_topk_bm25_prefix,
     "topk_bm25_wildcard": q_topk_bm25_wildcard,
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
@@ -1194,9 +1254,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round. Every parked entry is r4-green AND untouched by any r5 code
     # change (unlike facet/search/chunk/prefix/wildcard entries, whose
     # r5 fixes keep them in the head); they were parked to seat the
-    # ten r5 additions (snippets_resolved, hybrid_rrf_topk,
-    # suggest_prefix, more_like_this, topk_bm25_regexp, spell_suggest,
-    # collapse_lang, topk_bm25_fielded, sort_by_len, count_hits). ----
+    # r5 additions (snippets_resolved, hybrid_rrf_topk, suggest_prefix,
+    # more_like_this, topk_bm25_regexp, spell_suggest, collapse_lang,
+    # topk_bm25_fielded, sort_by_len, count_hits, search_after_page2,
+    # topk_bm25_msm, topk_bm25_synonym). Three r4-green entries yielded
+    # their head seats to the last three: topk_bm25 (its scoring path
+    # carries every other head topk query), topk_bm25_purged
+    # (steady-state == topk_bm25_compacted at head pos 23), and
+    # chunk_docs (its uid packing is exercised by topk_chunks in head).
+    # facet_dl_ranges / date_histogram are tail-only: their oracles run
+    # in the local suite every pytest (identical comparison), and their
+    # cogroup/Catalyst shapes are carried by facet_lang / time_filter
+    # rows. ----
+    "topk_bm25": q_topk_bm25,
+    "topk_bm25_purged": q_topk_bm25_purged,
+    "chunk_docs": q_chunk_docs,
+    "facet_dl_ranges": q_facet_dl_ranges,
+    "date_histogram": q_date_histogram,
     "topk_bm25_boolean": q_topk_bm25_boolean,
     "phrase_near": q_phrase_near,
     "topk_bm25_rare": q_topk_bm25_rare,
@@ -1280,6 +1354,12 @@ ORACLES: dict[str, str] = {
                                                   FIELDED_BOOSTS, K),
     "sort_by_len": oracles.sort_by_field_sql(Q_TOPK, K),
     "count_hits": oracles.count_hits_sql(Q_TOPK),
+    "search_after_page2": oracles.bm25_topk_after_sql(Q_TOPK, K, page=2),
+    "topk_bm25_msm": oracles.bm25_topk_msm_sql(Q_AND, MSM_M, K),
+    "topk_bm25_synonym": oracles.bm25_topk_synonym_sql(SYN_GROUPS, K),
+    "facet_dl_ranges": oracles.facet_ranges_sql(Q_TOPK, FACET_RANGE_WIDTH,
+                                                "or"),
+    "date_histogram": oracles.date_histogram_sql(DATE_HIST_TYPE),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
     "collapse_lang": oracles.collapse_topk_sql(Q_TOPK, COLLAPSE_COL,
                                                COLLAPSE_K),
