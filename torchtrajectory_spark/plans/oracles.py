@@ -1436,3 +1436,14 @@ WHERE event_type = '{et}'
 GROUP BY 1
 ORDER BY day ASC
 """.strip()
+
+
+def index_stats_sql() -> str:
+    """Manifest-metrics oracle: the engine answers from checkpointed
+    build metrics (manifest row_count / sum_dl per segment); this
+    recomputes both from the raw corpus with the same ws analyzer."""
+    return f"""
+WITH {TOK_CTE}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM tok) AS sum_dl
+""".strip()

@@ -408,6 +408,23 @@ def q_facet_dl_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             FACET_RANGE_WIDTH, mode="or")
 
 
+def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index statistics from the build MANIFEST alone (the per-partition
+    lineage/metrics checkpoint rows, S16): total docs and total token
+    count summed over committed segments' Observation-collected metrics
+    — no postings or doc-store read. The oracle recomputes both numbers
+    from the raw corpus, so this row proves the checkpointed build
+    metrics against ground truth (the north rule's 'resumable from
+    per-partition checkpoints carrying lineage and build metrics')."""
+    from ..operators.index import read_manifest
+
+    idx = ensure_index(spark, sf_dir)
+    return read_manifest(spark, idx).agg(
+        F.sum("row_count").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    )
+
+
 def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-histogram aggregation over the events table: per-day event
     count + distinct users for one event type — pure Catalyst (one scan,
@@ -1271,6 +1288,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_docs": q_chunk_docs,
     "facet_dl_ranges": q_facet_dl_ranges,
     "date_histogram": q_date_histogram,
+    "index_stats": q_index_stats,
     "topk_bm25_boolean": q_topk_bm25_boolean,
     "phrase_near": q_phrase_near,
     "topk_bm25_rare": q_topk_bm25_rare,
@@ -1360,6 +1378,7 @@ ORACLES: dict[str, str] = {
     "facet_dl_ranges": oracles.facet_ranges_sql(Q_TOPK, FACET_RANGE_WIDTH,
                                                 "or"),
     "date_histogram": oracles.date_histogram_sql(DATE_HIST_TYPE),
+    "index_stats": oracles.index_stats_sql(),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
     "collapse_lang": oracles.collapse_topk_sql(Q_TOPK, COLLAPSE_COL,
                                                COLLAPSE_K),
