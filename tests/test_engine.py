@@ -813,3 +813,43 @@ def test_facet_ranges_partitions_the_match_set(spark, engine):
     assert all(lo % 25.0 == 0 for lo in los)
     with pytest.raises(ValueError, match="width"):
         eng.facet_ranges(q, "dl", 0.0)
+
+
+def test_boosted_unit_weights_equal_plain_and_validate(spark, engine):
+    """All-1.0 boosts == plain find_topk fp-exact; a 0/negative boost
+    raises; a real boost reorders by the boosted score (brute-checked)."""
+    import math
+
+    eng, docs = engine
+    q = ["spark", "join"]
+    plain = [(r["doc_id"], r["score"]) for r in eng.find_topk(q, 8).collect()]
+    unit = [(r["doc_id"], r["score"])
+            for r in eng.find_topk_boosted({t: 1.0 for t in q}, 8).collect()]
+    assert unit == plain
+    with pytest.raises(ValueError, match="boosts"):
+        eng.find_topk_boosted({"spark": 0.0}, 5).collect()
+    # brute-force reference with weights
+    w = {"spark": 3.0, "join": 0.25}
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = eng.k1, eng.b
+    exp = {}
+    for d, tk in toks.items():
+        s = 0.0
+        for t, wt in w.items():
+            tf = tk.count(t)
+            if tf:
+                df = sum(1 for x in toks.values() if t in x)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += wt * idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            exp[d] = s
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    got = [(r["doc_id"], r["score"])
+           for r in eng.find_topk_boosted(w, 6).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9

@@ -133,6 +133,19 @@ class Engine:
             meta=self._term_meta(terms), after=after,
         )
 
+    def find_topk_boosted(self, weights: dict, k: int = DEFAULT_K) -> DataFrame:
+        """Top-k BM25 with per-term query boosts (Lucene ``BoostQuery``):
+        ``weights`` maps term -> positive weight; each term's idf scales
+        by its weight, block-max bounds scale with it, so the pruned scan
+        stays exact. weight=1.0 for every term == plain ``find_topk``."""
+        terms = sorted({str(t) for t in weights})
+        return topk_bm25_index(
+            self.spark, self.index_dir, terms, k,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+            meta=self._term_meta(terms),
+            boosts={str(t): float(w) for t, w in weights.items()},
+        )
+
     def find_topk_msm(self, terms: list[str], min_should_match: int,
                       k: int = DEFAULT_K) -> DataFrame:
         """Top-k BM25 over docs matching at least ``min_should_match``

@@ -309,7 +309,8 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
                   k1: float, b: float,
                   allowed: np.ndarray | None = None,
                   blocked: np.ndarray | None = None,
-                  after: tuple[float, int] | None = None) -> pd.DataFrame:
+                  after: tuple[float, int] | None = None,
+                  boosts: dict | None = None) -> pd.DataFrame:
     """Exact top-k for one segment: UB-ordered chunked scan, early stop,
     per-block lazy payload decode.
 
@@ -317,8 +318,15 @@ def _segment_topk(pdf: pd.DataFrame, q: list[str], k: int, meta: IndexMeta,
     predicate-selected doc set while scores keep index-wide statistics —
     the F2-in-the-loop semantics (``EdgeInvertedIndex.java:155``).
     Filtering candidates BEFORE the UB-ordered scan keeps theta-pruning
-    and block-skipping fully effective under the predicate."""
+    and block-skipping fully effective under the predicate.
+
+    ``boosts`` (term -> weight, Lucene BoostQuery): the boost scales the
+    term's idf BEFORE the block bounds are built, so member_ub, theta
+    pruning and the exact scores all see the same boosted weight —
+    pruning stays exact under any positive boost."""
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs) for t in q}
+    if boosts:
+        idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
     term_arrays = _build_term_arrays(pdf, idf, meta.avgdl, k1, b)
     return _scan_topk(term_arrays, q, idf, k, meta, k1, b,
                       allowed=allowed, blocked=blocked, after=after)
@@ -398,14 +406,22 @@ def topk_bm25_index(
     b: float = BM25_B,
     scalars: tuple[float, float] | None = None,
     after: tuple[float, int] | None = None,
+    boosts: dict | None = None,
 ) -> DataFrame:
     """Top-k BM25 from the compressed index. Returns (doc_id, score).
 
     ``after`` = (score, doc_id) cursor for deep pagination (Lucene
     ``searchAfter``): returns the top-k of the docs ranking STRICTLY
     after the cursor under (score DESC, doc_id ASC). Per-segment cost is
-    the same pruned scan as page one — never a k*page heap."""
+    the same pruned scan as page one — never a k*page heap.
+
+    ``boosts`` = term -> positive weight (Lucene ``BoostQuery``): scales
+    each term's idf; block bounds scale with it, so pruning stays exact."""
     q = sorted(set(str(t) for t in query_terms))
+    if boosts is not None:
+        bad = {t: w for t, w in boosts.items() if not float(w) > 0}
+        if bad:
+            raise ValueError(f"topk_bm25_index: boosts must be > 0: {bad}")
     if meta is None:
         meta = query_term_meta(spark, index_dir, q, buckets, scalars)
     # column-prune before the Arrow transfer: the scorer needs only the
@@ -421,7 +437,7 @@ def topk_bm25_index(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         return _segment_topk(
             pdf.drop(columns=["segment"]), q, k, meta, k1, b, blocked=dead,
-            after=after,
+            after=after, boosts=boosts,
         )
 
     per_seg = blocks.groupBy("segment").applyInPandas(

@@ -1447,3 +1447,49 @@ WITH {TOK_CTE}
 SELECT (SELECT count(*) FROM documents) AS n_docs,
        (SELECT count(*) FROM tok) AS sum_dl
 """.strip()
+
+
+def bm25_topk_boosted_sql(weights: dict, k: int,
+                          k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """BoostQuery oracle: each term's BM25 contribution multiplied by
+    its query boost (idf scaling, Lucene BoostQuery semantics)."""
+    pairs = sorted((str(t), float(w)) for t, w in weights.items())
+    vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {w!r})" for t, w in pairs)
+    tl = _terms_list([t for t, _ in pairs])
+    return f"""
+WITH {TOK_CTE},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+bst AS (
+  SELECT * FROM (VALUES {vals}) v(term, w)
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           bst.w * ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+           * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN dfs USING (term)
+  JOIN bst ON bst.term = tf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -408,6 +408,16 @@ def q_facet_dl_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             FACET_RANGE_WIDTH, mode="or")
 
 
+BOOST_WEIGHTS = {"spark": 2.0, "join": 1.0, "window": 0.5}
+
+
+def q_topk_bm25_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term query boosts (Lucene BoostQuery): Q_TOPK terms weighted
+    2.0 / 1.0 / 0.5 — idf scaling, pruning stays exact."""
+    idx = ensure_index(spark, sf_dir)
+    return _score_u6(_engine(spark, idx).find_topk_boosted(BOOST_WEIGHTS, K))
+
+
 def q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index statistics from the build MANIFEST alone (the per-partition
     lineage/metrics checkpoint rows, S16): total docs and total token
@@ -1289,6 +1299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_dl_ranges": q_facet_dl_ranges,
     "date_histogram": q_date_histogram,
     "index_stats": q_index_stats,
+    "topk_bm25_boosted": q_topk_bm25_boosted,
     "topk_bm25_boolean": q_topk_bm25_boolean,
     "phrase_near": q_phrase_near,
     "topk_bm25_rare": q_topk_bm25_rare,
@@ -1379,6 +1390,7 @@ ORACLES: dict[str, str] = {
                                                 "or"),
     "date_histogram": oracles.date_histogram_sql(DATE_HIST_TYPE),
     "index_stats": oracles.index_stats_sql(),
+    "topk_bm25_boosted": oracles.bm25_topk_boosted_sql(BOOST_WEIGHTS, K),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
     "collapse_lang": oracles.collapse_topk_sql(Q_TOPK, COLLAPSE_COL,
                                                COLLAPSE_K),
