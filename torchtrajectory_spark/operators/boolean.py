@@ -140,6 +140,27 @@ def decode_match_docs(pdf, mode: str, nq: int):
     return out
 
 
+def match_hit_rows(blk, st, mode: str, nq: int, dead):
+    """SHARED per-segment prologue of the match-then-analyze operators
+    (``facet_counts`` / ``facet_ranges`` / ``sort_by_field``): boolean
+    docID match via :func:`decode_match_docs`, tombstone mask, then the
+    segment's doc_stats rows for the surviving docs. Returns the hit
+    rows (possibly empty), or None when the segment has no match — a
+    tombstone or matching fix lands in one place."""
+    import numpy as np
+
+    from .index import sorted_isin
+
+    match = decode_match_docs(blk, mode, nq)
+    if match is None:
+        return None
+    if dead is not None and match.size:
+        match = match[~sorted_isin(dead, match)]
+    if match.size == 0 or not len(st):
+        return None
+    return st[np.isin(st["doc_id"].to_numpy(), match)]
+
+
 def bool_or_index_blocks(spark, index_dir: str, query_terms: list[str],
                          buckets: int | None = None) -> DataFrame:
     """OR (J2) from the compressed index — see ``_bool_index_blocks``."""
@@ -170,7 +191,7 @@ def sort_by_field(spark, index_dir: str, query_terms: list[str],
     import numpy as np
     import pandas as pd
 
-    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .index import read_doc_stats, tombstone_ids
     from .wand import _q_blocks
 
     if mode not in ("or", "and"):
@@ -190,14 +211,9 @@ def sort_by_field(spark, index_dir: str, query_terms: list[str],
                           "sort_value": pd.Series(dtype="float64")})
 
     def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
-        match = decode_match_docs(blk, mode, nq)
-        if match is None:
+        hit = match_hit_rows(blk, st, mode, nq, dead)
+        if hit is None:
             return empty
-        if dead is not None and match.size:
-            match = match[~sorted_isin(dead, match)]
-        if match.size == 0 or not len(st):
-            return empty
-        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
         hit = hit[hit["sort_value"].notna()]
         if not len(hit):
             return empty
@@ -231,7 +247,7 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
     import numpy as np
     import pandas as pd
 
-    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .index import read_doc_stats, tombstone_ids
     from .wand import _q_blocks
 
     if mode not in ("or", "and"):
@@ -249,14 +265,9 @@ def facet_counts(spark, index_dir: str, query_terms: list[str],
     def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"value": pd.Series(dtype="object"),
                               "cnt": pd.Series(dtype="int64")})
-        match = decode_match_docs(blk, mode, nq)
-        if match is None:
+        hit = match_hit_rows(blk, st, mode, nq, dead)
+        if hit is None:
             return empty
-        if dead is not None and match.size:
-            match = match[~sorted_isin(dead, match)]
-        if match.size == 0 or not len(st):
-            return empty
-        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
         vc = hit.groupby("value", dropna=False).size()
         return pd.DataFrame({"value": vc.index.astype(object),
                              "cnt": vc.to_numpy(dtype=np.int64)})
@@ -293,14 +304,18 @@ def facet_ranges(spark, index_dir: str, query_terms: list[str],
     import numpy as np
     import pandas as pd
 
-    from .index import read_doc_stats, sorted_isin, tombstone_ids
+    from .index import read_doc_stats, tombstone_ids
     from .wand import _q_blocks
 
     if mode not in ("or", "and"):
         raise ValueError(f"facet_ranges: unknown mode {mode!r}")
+    import math
+
     w = float(width)
-    if not w > 0:
-        raise ValueError(f"facet_ranges: width must be > 0, got {width!r}")
+    if not (w > 0 and math.isfinite(w)):
+        raise ValueError(
+            f"facet_ranges: width must be a finite positive number, "
+            f"got {width!r}")
     q = sorted({str(t) for t in query_terms})
     nq = len(q)
     blocks = _q_blocks(spark, index_dir, q, buckets).select(
@@ -314,14 +329,9 @@ def facet_ranges(spark, index_dir: str, query_terms: list[str],
     def run(blk: pd.DataFrame, st: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"bucket_lo": pd.Series(dtype="float64"),
                               "cnt": pd.Series(dtype="int64")})
-        match = decode_match_docs(blk, mode, nq)
-        if match is None:
+        hit = match_hit_rows(blk, st, mode, nq, dead)
+        if hit is None:
             return empty
-        if dead is not None and match.size:
-            match = match[~sorted_isin(dead, match)]
-        if match.size == 0 or not len(st):
-            return empty
-        hit = st[np.isin(st["doc_id"].to_numpy(), match)]
         v = hit["v"].to_numpy(dtype=np.float64)
         v = v[~np.isnan(v)]
         if not v.size:

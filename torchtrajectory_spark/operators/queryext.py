@@ -64,7 +64,19 @@ def _segment_topk_msm(pdf: pd.DataFrame, q: list[str], m: int, k: int,
     docs = _live_union_docs(use, blocked)
     if docs.size == 0:
         return pd.DataFrame(_EMPTY_TOPK)
+    # pass 1 — candidacy from docID membership ALONE (the docID streams
+    # are already decoded; no tf/dl payload is touched), so the usually
+    # large non-qualifying majority never costs a block decode
     counts = np.zeros(docs.size, dtype=np.int64)
+    for term in sorted(use):
+        tp = use[term]
+        pos = np.clip(np.searchsorted(tp.docs, docs), 0, tp.docs.size - 1)
+        counts[tp.docs[pos] == docs] += 1
+    docs = docs[counts >= m]
+    if docs.size == 0:
+        return pd.DataFrame(_EMPTY_TOPK)
+    # pass 2 — exact BM25 over the qualifying docs only (lazy per-block
+    # payload decode inside tf_dl_at touches just their blocks)
     scores = np.zeros(docs.size, dtype=np.float64)
     for term in sorted(use):
         tp = use[term]
@@ -72,12 +84,9 @@ def _segment_topk_msm(pdf: pd.DataFrame, q: list[str], m: int, k: int,
         hit = tp.docs[pos] == docs
         hit_idx = pos[hit]
         if hit_idx.size:
-            counts[hit] += 1
             tfs, dls = tp.tf_dl_at(hit_idx)
             scores[hit] += idf[term] * tf_sat_np(tfs, dls, meta.avgdl,
                                                  k1, b)
-    qual = counts >= m
-    docs, scores = docs[qual], scores[qual]
     sel = np.lexsort((docs, -scores))[:k]
     return pd.DataFrame({"doc_id": docs[sel], "score": scores[sel]})
 
@@ -116,7 +125,7 @@ def topk_bm25_index_msm(
         )
 
     per_seg = blocks.groupBy("segment").applyInPandas(
-        lambda key_pdf: run(key_pdf), schema=_TOPK_SCHEMA,
+        run, schema=_TOPK_SCHEMA,
     )
     return (per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(int(k)))
@@ -203,7 +212,7 @@ def topk_bm25_index_synonym(
         )
 
     per_seg = blocks.groupBy("segment").applyInPandas(
-        lambda key_pdf: run(key_pdf), schema=_TOPK_SCHEMA,
+        run, schema=_TOPK_SCHEMA,
     )
     return (per_seg.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(int(k)))

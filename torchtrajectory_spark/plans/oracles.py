@@ -625,7 +625,8 @@ FROM e
 def _bm25_topk_core(term_pred: str, k: int, k1: float, b: float,
                     doc_where: str = "", result_where: str = "",
                     corpus: str = "documents",
-                    extra_ctes: str = "") -> str:
+                    extra_ctes: str = "",
+                    scores_having: str = "") -> str:
     """Shared BM25 top-k skeleton with five seams: ``term_pred`` selects
     the scoring terms (IN list / starts_with / a subquery), ``doc_where``
     restricts the corpus BEFORE statistics (purged-delete semantics),
@@ -635,9 +636,12 @@ def _bm25_topk_core(term_pred: str, k: int, k1: float, b: float,
     table), and ``extra_ctes`` splices extra CTEs between ``stats`` and
     ``dfs`` (they may reference tok/tf/dl/stats and be referenced by
     ``term_pred`` — the MoreLikeThis term-selection seam). Must end with
-    a trailing comma when non-empty."""
+    a trailing comma when non-empty. ``scores_having`` adds a HAVING
+    clause to the per-doc score aggregate (the minimum-should-match
+    seam: e.g. ``count(*) >= 2``)."""
     tok_src = corpus + (f" WHERE {doc_where}" if doc_where else "")
     rw = f"WHERE {result_where}\n" if result_where else ""
+    sh = f"\n  HAVING {scores_having}" if scores_having else ""
     return f"""
 WITH tok AS (
   SELECT doc_id, t.term
@@ -670,7 +674,7 @@ scores AS (
   JOIN dfs USING (term)
   JOIN dl ON tf.doc_id = dl.doc_id
   CROSS JOIN stats
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id{sh}
 )
 SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
 FROM scores
@@ -1258,7 +1262,9 @@ def bm25_topk_after_sql(terms: list[str], k: int, page: int = 2,
                         k1: float = BM25_K1, b: float = BM25_B) -> str:
     """searchAfter oracle: page ``page`` of the ranking = rows
     (page-1)*k+1 .. page*k under (score DESC, doc_id ASC) — what the
-    engine's (score, doc_id) cursor must reproduce without a deep heap."""
+    engine's (score, doc_id) cursor must reproduce without a deep heap.
+    Standalone rather than on ``_bm25_topk_core``: the final select is a
+    rank WINDOW over the scores CTE, not the core's ORDER-BY-LIMIT."""
     tl = _terms_list(sorted(set(terms)))
     lo, hi = (int(page) - 1) * int(k), int(page) * int(k)
     return f"""
@@ -1304,48 +1310,21 @@ def bm25_topk_msm_sql(terms: list[str], m: int, k: int,
                       k1: float = BM25_K1, b: float = BM25_B) -> str:
     """minimum-should-match oracle: only docs matching >= ``m`` distinct
     query terms rank; score is the usual per-term BM25 sum over their
-    matched terms (index-wide statistics)."""
+    matched terms (index-wide statistics). Rides the shared skeleton via
+    the ``scores_having`` seam (tf has one row per distinct (doc, term),
+    so count(*) is the distinct matched-term count)."""
     tl = _terms_list(sorted(set(terms)))
-    return f"""
-WITH {TOK_CTE},
-tf AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
-),
-dl AS (
-  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
-),
-stats AS (
-  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
-),
-dfs AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tf WHERE term IN ({tl}) GROUP BY 1
-),
-scores AS (
-  SELECT tf.doc_id,
-         sum(
-           ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-           * tf.tf * ({k1} + 1)
-           / (tf.tf + {k1} * (1 - {b} + {b} * dl.dl / stats.avgdl))
-         ) AS score
-  FROM tf
-  JOIN dfs USING (term)
-  JOIN dl ON tf.doc_id = dl.doc_id
-  CROSS JOIN stats
-  GROUP BY tf.doc_id
-  HAVING count(*) >= {int(m)}
-)
-SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
-FROM scores
-ORDER BY score DESC, doc_id ASC
-LIMIT {k}
-""".strip()
+    return _bm25_topk_core(f"term IN ({tl})", k, k1, b,
+                           scores_having=f"count(*) >= {int(m)}")
 
 
 def bm25_topk_synonym_sql(groups: list[list[str]], k: int,
                           k1: float = BM25_K1, b: float = BM25_B) -> str:
     """SynonymQuery oracle: each group scores as ONE pseudo-term —
     tf = sum of member tfs in the doc, df = max of member dfs (Lucene's
-    blended docFreq)."""
+    blended docFreq). Standalone rather than on ``_bm25_topk_core``:
+    the scores CTE aggregates GROUP-blended (gtf/gdf) inputs, a
+    structurally different skeleton."""
     pairs = sorted({(str(t), gi) for gi, g in enumerate(groups)
                     for t in g})
     vals = ", ".join(f"('{t.replace(chr(39), chr(39) * 2)}', {gi})"
@@ -1452,7 +1431,10 @@ SELECT (SELECT count(*) FROM documents) AS n_docs,
 def bm25_topk_boosted_sql(weights: dict, k: int,
                           k1: float = BM25_K1, b: float = BM25_B) -> str:
     """BoostQuery oracle: each term's BM25 contribution multiplied by
-    its query boost (idf scaling, Lucene BoostQuery semantics)."""
+    its query boost (idf scaling, Lucene BoostQuery semantics).
+    Standalone rather than on ``_bm25_topk_core``: the boost joins a
+    VALUES weight map INTO the score expression, a seam the core's
+    scores CTE does not carry."""
     pairs = sorted((str(t), float(w)) for t, w in weights.items())
     vals = ", ".join(
         f"('{t.replace(chr(39), chr(39) * 2)}', {w!r})" for t, w in pairs)

@@ -380,6 +380,8 @@ def q_search_after_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir)
     eng = _engine(spark, idx)
     page1 = eng.find_topk(Q_TOPK, K).collect()
+    if not page1:  # empty page 1 -> empty page 2 (fixture-drift guard)
+        return _score_u6(eng.find_topk(Q_TOPK, 0))
     last = page1[-1]
     return _score_u6(eng.find_topk(
         Q_TOPK, K, after=(float(last["score"]), int(last["doc_id"]))))
