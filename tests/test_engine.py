@@ -724,11 +724,19 @@ def test_search_after_pages_tile_the_ranking(spark, engine):
     assert got == exp  # rank AND score identity, fp-exact
 
 
-def test_search_after_filtered_rejected(spark, engine):
+def test_search_after_composes_with_filter(spark, engine):
+    """Filtered rankings paginate too: page1+page2 under the same
+    predicate tile the filtered deep ranking exactly."""
     eng, _ = engine
-    with pytest.raises(ValueError, match="after-cursor"):
-        eng.find_topk(["spark"], 5, where=F.col("lang") == "en",
-                      after=(1.0, 0))
+    q, k = ["spark", "join"], 4
+    pred = F.col("lang") == "en"
+    deep = eng.find_topk(q, 2 * k, where=pred).collect()
+    page1 = eng.find_topk(q, k, where=pred).collect()
+    after = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+    page2 = eng.find_topk(q, k, where=pred, after=after).collect()
+    got = [(r["doc_id"], r["score"]) for r in page1 + page2]
+    exp = [(r["doc_id"], r["score"]) for r in deep]
+    assert got == exp
 
 
 def test_msm_bounds_and_degenerate_or(spark, engine):

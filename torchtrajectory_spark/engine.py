@@ -110,22 +110,19 @@ class Engine:
         a (score, doc_id) cursor — the last row of the previous page —
         for deep pagination (Lucene ``searchAfter``): only docs ranking
         strictly after it are returned, at page-one cost (the pruned scan
-        never holds a k*page heap).
+        never holds a k*page heap). ``where`` and ``after`` compose —
+        filtered rankings paginate too (Lucene searchAfter with a filter
+        clause).
 
         Term statistics are fetched per QUERY (``query_term_meta``: a
         bucket-pruned dictionary lookup for just the query terms) — never
         the full dictionary, which is unbounded driver state at the
         10^12-file / hash-bounded-vocabulary posture (SURVEY.md §7.6)."""
         if where is not None:
-            if after is not None:
-                raise ValueError(
-                    "find_topk: after-cursor pagination over a filtered "
-                    "query is not implemented — paginate the unfiltered "
-                    "ranking or tighten the predicate instead")
             return topk_bm25_index_filtered(
                 self.spark, self.index_dir, terms, k, where,
                 buckets=self._buckets, k1=self.k1, b=self.b,
-                meta=self._term_meta(terms),
+                meta=self._term_meta(terms), after=after,
             )
         return topk_bm25_index(
             self.spark, self.index_dir, terms, k,

@@ -589,6 +589,7 @@ def topk_bm25_index_filtered(
     k1: float = BM25_K1,
     b: float = BM25_B,
     meta: IndexMeta | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Index-backed top-k with a metadata predicate on the candidates.
 
@@ -601,6 +602,9 @@ def topk_bm25_index_filtered(
     fell back to a full groupBy-sum over the query terms' postings with
     no UB pruning at all). The predicate itself is pushed into the
     doc_stats parquet scan; postings scans stay bucket+term pruned.
+    ``after`` composes: the (score, doc_id) cursor gates heap admission
+    AFTER the allowed-set filter, so filtered rankings paginate at
+    page-one cost too (Lucene searchAfter with a filter clause).
     """
     from .index import read_doc_stats
 
@@ -624,7 +628,7 @@ def topk_bm25_index_filtered(
         ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
         return _segment_topk(
             blk.drop(columns=["segment"]), q, k, meta, k1, b,
-            allowed=ids, blocked=dead,
+            allowed=ids, blocked=dead, after=after,
         )
 
     per_seg = blocks.groupBy("segment").cogroup(
