@@ -1257,15 +1257,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # fresh driver evidence) plus r5 additions ----
     "facet_lang": q_facet_lang,              # NULL ordering fixed in r5
     "topk_chunks": q_topk_chunks,            # uid packing widened in r5
-    "search_simple": q_search_simple,        # pattern rejection in r5
     "topk_bm25_deleted": q_topk_bm25_deleted,  # tombstone reads hardened
     "topk_bm25_indexed": q_topk_bm25_indexed,  # manifest reads hardened
     "search_after_page2": q_search_after_page2,  # r5 addition (searchAfter)
     "topk_bm25_msm": q_topk_bm25_msm,            # r5 addition (msm)
     "topk_bm25_synonym": q_topk_bm25_synonym,    # r5 addition (SynonymQuery)
-    "topk_bm25_prefix": q_topk_bm25_prefix,
-    "topk_bm25_wildcard": q_topk_bm25_wildcard,
-    "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
+    "topk_bm25_boosted": q_topk_bm25_boosted,    # r5 addition (BoostQuery)
+    "index_stats": q_index_stats,                # r5 addition (lineage)
+    "facet_dl_ranges": q_facet_dl_ranges,        # r5 addition (range facet)
+    "date_histogram": q_date_histogram,          # r5 addition (date hist)
     "phrase_near_indexed": q_phrase_near_indexed,
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
@@ -1291,17 +1291,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # carries every other head topk query), topk_bm25_purged
     # (steady-state == topk_bm25_compacted at head pos 23), and
     # chunk_docs (its uid packing is exercised by topk_chunks in head).
-    # facet_dl_ranges / date_histogram are tail-only: their oracles run
-    # in the local suite every pytest (identical comparison), and their
-    # cogroup/Catalyst shapes are carried by facet_lang / time_filter
-    # rows. ----
+    # Every r5 ADDITION sits in the head (first driver evidence matters
+    # most for brand-new surfaces); four r4-green rows whose r5 code
+    # deltas are carried by other head rows yielded the seats:
+    # topk_bm25_prefix / _wildcard (the terms_sorted range path is
+    # driver-evidenced by suggest_prefix + topk_bm25_regexp), _fuzzy
+    # (same dictionary-scan machinery as spell_suggest), search_simple
+    # (its r5 delta is parser-level, unit-tested; execution path ==
+    # topk_bm25_boolean's, r4-green). ----
     "topk_bm25": q_topk_bm25,
     "topk_bm25_purged": q_topk_bm25_purged,
     "chunk_docs": q_chunk_docs,
-    "facet_dl_ranges": q_facet_dl_ranges,
-    "date_histogram": q_date_histogram,
-    "index_stats": q_index_stats,
-    "topk_bm25_boosted": q_topk_bm25_boosted,
+    "search_simple": q_search_simple,        # pattern rejection in r5
+    "topk_bm25_prefix": q_topk_bm25_prefix,
+    "topk_bm25_wildcard": q_topk_bm25_wildcard,
+    "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
     "topk_bm25_boolean": q_topk_bm25_boolean,
     "phrase_near": q_phrase_near,
     "topk_bm25_rare": q_topk_bm25_rare,
