@@ -243,3 +243,33 @@ def test_engine_prefix_memoizes_expansion(spark, base_dir):
     assert [(r["doc_id"], r["score"]) for r in a] == [
         (r["doc_id"], r["score"]) for r in b
     ]
+
+
+def test_query_snapshot_isolated_from_concurrent_delete(
+        spark, corpus, tmp_path_factory):
+    """Snapshot semantics under delete: a query PLAN built before a
+    delete commits returns the pre-delete result even when collected
+    after the commit (the tombstone set is captured driver-side into
+    the kernel closures at plan time), and a plan built after returns
+    the post-delete result — a reader never sees a torn live-docs set."""
+    # fresh private build: this test commits a delete mid-flight, so it
+    # must not mutate the shared module fixtures
+    d = str(tmp_path_factory.mktemp("snap")) + "/idx"
+    _build(spark, corpus, d)
+
+    before = topk_bm25_index(spark, d, Q, K).collect()
+    top1 = int(before[0]["doc_id"])
+
+    plan_pre = topk_bm25_index(spark, d, Q, K)  # plan BEFORE the delete
+    assert delete_docs(spark, d, [top1]) == 1   # delete commits now
+    got_pre = [(r["doc_id"], r["score"]) for r in plan_pre.collect()]
+    assert got_pre == [(r["doc_id"], r["score"]) for r in before], \
+        "pre-delete plan must keep its tombstone snapshot"
+
+    after = topk_bm25_index(spark, d, Q, K).collect()  # plan AFTER
+    assert top1 not in {r["doc_id"] for r in after}
+    # masked semantics: the post-delete ranking is the pre-delete one
+    # with the deleted doc removed (scores unchanged), plus one new
+    # entrant at the bottom of the heap
+    assert [(r["doc_id"], r["score"]) for r in after[:K - 1]] == \
+        [(r["doc_id"], r["score"]) for r in before[1:]]

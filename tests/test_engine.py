@@ -861,3 +861,24 @@ def test_boosted_unit_weights_equal_plain_and_validate(spark, engine):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9
+
+
+def test_batch_afters_match_single_search_after(spark, engine):
+    """Per-query cursors inside the batch: each paginated member equals
+    its single-query searchAfter run; page-1 members are unaffected."""
+    eng, _ = engine
+    k = 5
+    qs = {"a": ["spark", "join"], "b": ["dup", "scan"]}
+    # page-1 cursors from single-query runs
+    p1a = eng.find_topk(qs["a"], k).collect()
+    cur_a = (float(p1a[-1]["score"]), int(p1a[-1]["doc_id"]))
+    single_a2 = [(r["doc_id"], r["score"])
+                 for r in eng.find_topk(qs["a"], k, after=cur_a).collect()]
+    single_b1 = [(r["doc_id"], r["score"])
+                 for r in eng.find_topk(qs["b"], k).collect()]
+    rows = eng.find_topk_many(qs, k, afters={"a": cur_a}).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    assert got["a"] == single_a2  # paginated member == single searchAfter
+    assert got["b"] == single_b1  # page-1 member untouched

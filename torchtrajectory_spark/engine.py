@@ -175,7 +175,8 @@ class Engine:
 
     def find_topk_many(self, queries: dict[str, list[str]],
                        k: int = DEFAULT_K,
-                       where: Column | None = None) -> DataFrame:
+                       where: Column | None = None,
+                       afters: dict | None = None) -> DataFrame:
         """Batch top-k BM25 — the PREFERRED entry for evaluating a query
         SET (the reference's driver-side loop over ``findTopK``,
         ``EdgeInvertedIndex.java:102``, re-expressed as one job). Returns
@@ -185,12 +186,16 @@ class Engine:
         ONCE, and the per-query fixed stage cost is paid once for the
         whole set (measured 8.7x over the loop at 20 queries). ``where``
         applies the same doc_stats metadata predicate to every query in
-        the set (F2-in-the-loop, as in ``find_topk``)."""
+        the set (F2-in-the-loop, as in ``find_topk``). ``afters`` maps
+        query_id -> (score, doc_id) cursor for per-query searchAfter
+        pagination inside the batch — mixed page-1 and page-N members
+        share the one scan."""
         all_terms = sorted({str(t) for q in queries.values() for t in q})
         return topk_bm25_index_many(
             self.spark, self.index_dir, queries, k,
             buckets=self._buckets, k1=self.k1, b=self.b,
             meta=self._term_meta(all_terms), predicate=where,
+            afters=afters,
         )
 
     def find_topk_prefix(self, prefix: str, k: int = DEFAULT_K,

@@ -372,13 +372,16 @@ def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
                        k: int, meta: IndexMeta,
                        k1: float, b: float,
                        allowed: np.ndarray | None = None,
-                       blocked: np.ndarray | None = None) -> pd.DataFrame:
+                       blocked: np.ndarray | None = None,
+                       afters: dict | None = None) -> pd.DataFrame:
     """Batch variant: ONE postings decode per term, then the same
     block-max WAND scan per query over the shared arrays. Output carries
     ``query_id``; each query's rows are exactly what ``_segment_topk``
     would return for it (asserted by the batch rank-identity test).
     ``allowed`` restricts heap membership for EVERY query in the set
-    (F2-in-the-loop, same semantics as the single-query filtered path)."""
+    (F2-in-the-loop, same semantics as the single-query filtered path).
+    ``afters`` maps query_id -> (score, doc_id) cursor for the queries
+    being paginated (searchAfter per batch member; absent = page 1)."""
     all_terms = sorted({t for _, q in queries for t in q})
     idf = {t: idf_py(meta.term_df.get(t, 0.0), meta.n_docs)
            for t in all_terms}
@@ -386,7 +389,8 @@ def _segment_topk_many(pdf: pd.DataFrame, queries: list[tuple[str, list[str]]],
     outs = []
     for qid, q in queries:
         r = _scan_topk(term_arrays, q, idf, k, meta, k1, b,
-                       allowed=allowed, blocked=blocked)
+                       allowed=allowed, blocked=blocked,
+                       after=(afters or {}).get(qid))
         r.insert(0, "query_id", qid)
         outs.append(r)
     if not outs:
@@ -497,6 +501,7 @@ def topk_bm25_index_many(
     scalars: tuple[float, float] | None = None,
     meta: IndexMeta | None = None,
     predicate=None,
+    afters: dict | None = None,
 ) -> DataFrame:
     """Batch top-k BM25: score a whole query SET in one pass.
 
@@ -519,6 +524,11 @@ def topk_bm25_index_many(
     ``findTopK`` (``base/invertedIndex/EdgeInvertedIndex.java:102``);
     batching is the idiomatic Spark re-expression of "run the reference
     query set".
+
+    ``afters`` maps query_id -> (score, doc_id) cursor: per-query
+    searchAfter pagination inside the batch — mixed page-1 and page-N
+    members share the one scan and the one decode, each at its own
+    page-one cost.
     """
     qmap = [(str(qid), sorted(set(str(t) for t in terms)))
             for qid, terms in sorted(queries.items())]
@@ -549,7 +559,7 @@ def topk_bm25_index_many(
             ids = np.sort(alw["doc_id"].to_numpy(dtype=np.int64))
             return _segment_topk_many(
                 blk.drop(columns=["segment"]), qmap, k, meta, k1, b,
-                allowed=ids, blocked=dead,
+                allowed=ids, blocked=dead, afters=afters,
             )
 
         per_seg = blocks.groupBy("segment").cogroup(
@@ -559,7 +569,7 @@ def topk_bm25_index_many(
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return _segment_topk_many(
                 pdf.drop(columns=["segment"]), qmap, k, meta, k1, b,
-                blocked=dead,
+                blocked=dead, afters=afters,
             )
 
         per_seg = blocks.groupBy("segment").applyInPandas(
