@@ -882,3 +882,47 @@ def test_batch_afters_match_single_search_after(spark, engine):
         got.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
     assert got["a"] == single_a2  # paginated member == single searchAfter
     assert got["b"] == single_b1  # page-1 member untouched
+
+
+def test_phrase_scored_matches_brute_reference(spark, engine):
+    """Scored PhraseQuery == brute pandas reference: summed
+    constituent-term idf × tf_sat(phrase occurrences, dl)."""
+    import math
+
+    eng, docs = engine
+    ph = ["table", "hash"]
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].lower().split() for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    k1, b = eng.k1, eng.b
+    idf_total = sum(
+        math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for df in (sum(1 for tk in toks.values() if t in tk) for t in ph))
+    exp = {}
+    for d, tk in toks.items():
+        n_occ = sum(
+            1 for i in range(len(tk) - len(ph) + 1)
+            if tk[i:i + len(ph)] == ph)
+        if n_occ:
+            dl = len(tk)
+            exp[d] = idf_total * n_occ * (k1 + 1) / (
+                n_occ + k1 * (1 - b + b * dl / avgdl))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:6]
+    got = [(r["doc_id"], r["score"])
+           for r in eng.find_topk_phrase(ph, 6).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_phrase_scored_requires_positions(spark, tmp_path):
+    from torchtrajectory_spark.operators.phrase import topk_bm25_index_phrase
+    from torchtrajectory_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    d = str(tmp_path / "nopos")
+    Engine.build(spark, docs, d, id_col="doc_id", text_col="text",
+                 analyzer="ws", n_segments=1, buckets=8)
+    with pytest.raises(ValueError, match="no positions"):
+        topk_bm25_index_phrase(spark, d, ["table", "hash"], 5)

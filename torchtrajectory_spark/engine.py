@@ -143,6 +143,19 @@ class Engine:
             boosts={str(t): float(w) for t, w in weights.items()},
         )
 
+    def find_topk_phrase(self, phrase: list[str],
+                         k: int = DEFAULT_K) -> DataFrame:
+        """PhraseQuery as a SCORING query (Lucene PhraseQuery ranking):
+        docs containing the exact phrase ranked by BM25 with the phrase
+        frequency as tf and the summed constituent-term idf as weight.
+        Requires a positional index (``with_positions=True``)."""
+        from .operators.phrase import topk_bm25_index_phrase
+
+        return topk_bm25_index_phrase(
+            self.spark, self.index_dir, phrase, k,
+            buckets=self._buckets, k1=self.k1, b=self.b,
+        )
+
     def find_topk_msm(self, terms: list[str], min_should_match: int,
                       k: int = DEFAULT_K) -> DataFrame:
         """Top-k BM25 over docs matching at least ``min_should_match``

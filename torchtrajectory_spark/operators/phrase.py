@@ -481,3 +481,96 @@ def phrase_count_index(spark: SparkSession, index_dir: str,
     return blocks.groupBy("segment").applyInPandas(
         run, schema="doc_id bigint, n_occ bigint",
     )
+
+
+def topk_bm25_index_phrase(spark: SparkSession, index_dir: str,
+                           phrase: list[str], k: int = 10,
+                           buckets: int | None = None,
+                           k1: float | None = None,
+                           b: float | None = None) -> DataFrame:
+    """PhraseQuery as a SCORING query (Lucene ``PhraseQuery`` ranking,
+    not just the match-count surface): docs containing the exact phrase
+    ranked by BM25 with the PHRASE frequency as tf —
+
+        score(d) = [sum over phrase positions of idf(term)] *
+                   tf_sat(phrase_occurrences(d), dl_d)
+
+    exactly Lucene's semantics: the Similarity receives every
+    constituent term's statistics (duplicates included) and the summed
+    idf weights the phrase frequency; the exact-phrase docFreq is never
+    computed (collection-expensive, same trade Lucene makes).
+
+    Scale shape: ONE pass — the positional per-segment kernel
+    (`_segment_phrase`, bucket+term-pruned scan) emits
+    (doc_id, n_occ, dl) with dl decoded from the SAME blocks (no
+    doc-store join), the summed idf is a driver-side constant from the
+    per-query dictionary lookup, scoring is a codegen'd expression over
+    match-set-sized rows, and the global merge is one
+    TakeOrderedAndProject."""
+    from ..config import BM25_B, BM25_K1, DEFAULT_K
+    from ..functions.bm25 import idf_py, tf_sat_expr
+    from .index import sorted_isin, tombstone_ids
+    from .wand import query_term_meta
+
+    k1 = BM25_K1 if k1 is None else float(k1)
+    b = BM25_B if b is None else float(b)
+    cfg = read_index_config(index_dir)
+    if not cfg.get("with_positions"):
+        raise ValueError(f"index at {index_dir} has no positions")
+    if buckets is None:
+        buckets = int(cfg["buckets"])
+    phrase = [str(t) for t in phrase]
+    if not phrase:
+        raise ValueError("empty phrase")
+    q = sorted(set(phrase))
+    meta = query_term_meta(spark, index_dir, q, buckets)
+    idf_total = float(sum(idf_py(meta.term_df.get(t, 0.0), meta.n_docs)
+                          for t in phrase))
+    bks = sorted({bucket_of(t, buckets) for t in q})
+    blocks = (
+        read_postings(spark, index_dir)
+        .where(F.col("bucket").isin(bks))
+        .where(F.col("term").isin(q))
+        .select("segment", "term", "doc_gaps", "tfs", "poss", "dls")
+    )
+    dead = tombstone_ids(index_dir)
+    t0 = min(q, key=lambda t: meta.term_df.get(t, 0.0))  # rarest term
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                              "n_occ": pd.Series(dtype="int64"),
+                              "dl": pd.Series(dtype="int64")})
+        r = _segment_phrase(
+            pdf[["term", "doc_gaps", "tfs", "poss"]], phrase)
+        if dead is not None and len(r):
+            r = r[~sorted_isin(dead, r["doc_id"].to_numpy())]
+        if not len(r):
+            return empty
+        # dl for the matched docs from the rarest term's blocks (every
+        # phrase match contains every term; dl is per-doc) — zero
+        # doc-store read
+        docs_parts, dl_parts = [], []
+        for row in pdf[pdf["term"] == t0].itertuples(index=False):
+            docs_parts.append(codec.decode_sorted(row.doc_gaps))
+            dl_parts.append(codec.decode_u32s(row.dls))
+        docs = np.concatenate(docs_parts)
+        dls = np.concatenate(dl_parts)
+        order = np.argsort(docs, kind="mergesort")
+        docs, dls = docs[order], dls[order]
+        hit = r["doc_id"].to_numpy()
+        pos = np.searchsorted(docs, hit)
+        return pd.DataFrame({"doc_id": hit,
+                             "n_occ": r["n_occ"].to_numpy(),
+                             "dl": dls[pos].astype(np.int64)})
+
+    per_seg = blocks.groupBy("segment").applyInPandas(
+        run, schema="doc_id bigint, n_occ bigint, dl bigint",
+    )
+    scored = per_seg.select(
+        "doc_id",
+        (F.lit(idf_total) * tf_sat_expr(
+            F.col("n_occ").cast("double"), F.col("dl").cast("double"),
+            meta.avgdl, k1, b)).alias("score"),
+    )
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(int(k)))

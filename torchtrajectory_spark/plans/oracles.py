@@ -1475,3 +1475,73 @@ FROM scores
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def bm25_topk_phrase_sql(phrase: list[str], k: int,
+                         k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Scored PhraseQuery oracle (Lucene PhraseQuery ranking): docs
+    containing the exact phrase, scored
+    [sum over phrase positions of idf(term)] * tf_sat(n_occ, dl) —
+    the summed constituent-term idf weights the PHRASE frequency
+    (duplicated terms contribute once per position, as Lucene's
+    Similarity receives one TermStatistics per phrase term)."""
+    n = len(phrase)
+    conds = " AND ".join(
+        f"t[i + {j}] = '" + t.replace("'", "''") + "'"
+        for j, t in enumerate(phrase)
+    )
+    tl = _terms_list(sorted(set(phrase)))
+    pv = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl,
+         CASE WHEN len(t) >= {n} THEN
+           CAST(len(list_filter(range(1, len(t) - {n - 2}),
+                                i -> {conds})) AS BIGINT)
+         ELSE 0 END AS n_occ
+  FROM toks
+),
+dl AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl FROM toks WHERE len(t) > 0
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) t
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+pp AS (
+  SELECT * FROM (VALUES {pv}) v(pos, term)
+),
+widf AS (
+  SELECT sum(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)))
+         AS idf_total
+  FROM pp JOIN dfs USING (term) CROSS JOIN stats
+),
+scores AS (
+  SELECT occ.doc_id,
+         widf.idf_total * occ.n_occ * ({k1} + 1)
+         / (occ.n_occ + {k1} * (1 - {b} + {b} * occ.dl / stats.avgdl))
+         AS score
+  FROM occ CROSS JOIN widf CROSS JOIN stats
+  WHERE occ.n_occ > 0
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

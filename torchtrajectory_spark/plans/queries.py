@@ -847,6 +847,13 @@ def q_phrase_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase.phrase_count(_docs(spark, sf_dir), PHRASE_3)
 
 
+def q_topk_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored PhraseQuery: exact-phrase docs ranked by BM25 with phrase
+    frequency as tf (Lucene PhraseQuery ranking, r5)."""
+    idx = ensure_index(spark, sf_dir, with_positions=True)
+    return _score_u6(_engine(spark, idx).find_topk_phrase(PHRASE_2, K))
+
+
 def q_phrase_bigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir, with_positions=True)
     return phrase.phrase_count_index(spark, idx, PHRASE_2,
@@ -1266,7 +1273,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "index_stats": q_index_stats,                # r5 addition (lineage)
     "facet_dl_ranges": q_facet_dl_ranges,        # r5 addition (range facet)
     "date_histogram": q_date_histogram,          # r5 addition (date hist)
-    "phrase_near_indexed": q_phrase_near_indexed,
+    "topk_bm25_phrase": q_topk_bm25_phrase,      # r5 addition (PhraseQuery)
     "snippets_resolved": q_snippets_resolved,  # r5 addition (VERDICT #7)
     "hybrid_rrf_topk": q_hybrid_rrf_topk,      # r5 addition (hybrid RAG)
     "suggest_prefix": q_suggest_prefix,        # r5 addition (suggester)
@@ -1306,6 +1313,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_prefix": q_topk_bm25_prefix,
     "topk_bm25_wildcard": q_topk_bm25_wildcard,
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
+    "phrase_near_indexed": q_phrase_near_indexed,  # positional path also
+    # driver-covered by phrase_bigram/trigram_indexed at head 1-2
     "topk_bm25_boolean": q_topk_bm25_boolean,
     "phrase_near": q_phrase_near,
     "topk_bm25_rare": q_topk_bm25_rare,
@@ -1395,6 +1404,7 @@ ORACLES: dict[str, str] = {
     "facet_dl_ranges": oracles.facet_ranges_sql(Q_TOPK, FACET_RANGE_WIDTH,
                                                 "or"),
     "date_histogram": oracles.date_histogram_sql(DATE_HIST_TYPE),
+    "topk_bm25_phrase": oracles.bm25_topk_phrase_sql(PHRASE_2, K),
     "index_stats": oracles.index_stats_sql(),
     "topk_bm25_boosted": oracles.bm25_topk_boosted_sql(BOOST_WEIGHTS, K),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
