@@ -926,3 +926,19 @@ def test_phrase_scored_requires_positions(spark, tmp_path):
                  analyzer="ws", n_segments=1, buckets=8)
     with pytest.raises(ValueError, match="no positions"):
         topk_bm25_index_phrase(spark, d, ["table", "hash"], 5)
+
+
+def test_phrase_scored_slop_zero_equals_exact(spark, engine):
+    """slop=0 counts exactly the exact-phrase matches, so the sloppy
+    scoring degenerates to the exact PhraseQuery ranking fp-exactly."""
+    eng, _ = engine
+    ph = ["table", "hash"]
+    exact = [(r["doc_id"], r["score"])
+             for r in eng.find_topk_phrase(ph, 8).collect()]
+    sloppy0 = [(r["doc_id"], r["score"])
+               for r in eng.find_topk_phrase(ph, 8, slop=0).collect()]
+    assert sloppy0 == exact
+    # widening the window can only add matches (tf monotone in slop)
+    s3 = {r["doc_id"]: r["score"]
+          for r in eng.find_topk_phrase(ph, 50, slop=3).collect()}
+    assert set(d for d, _ in exact) <= set(s3)

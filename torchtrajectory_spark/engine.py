@@ -144,16 +144,19 @@ class Engine:
         )
 
     def find_topk_phrase(self, phrase: list[str],
-                         k: int = DEFAULT_K) -> DataFrame:
+                         k: int = DEFAULT_K,
+                         slop: int | None = None) -> DataFrame:
         """PhraseQuery as a SCORING query (Lucene PhraseQuery ranking):
         docs containing the exact phrase ranked by BM25 with the phrase
         frequency as tf and the summed constituent-term idf as weight.
-        Requires a positional index (``with_positions=True``)."""
+        ``slop`` switches to the sloppy-phrase analog (ordered proximity
+        tuple count as tf). Requires a positional index
+        (``with_positions=True``)."""
         from .operators.phrase import topk_bm25_index_phrase
 
         return topk_bm25_index_phrase(
             self.spark, self.index_dir, phrase, k,
-            buckets=self._buckets, k1=self.k1, b=self.b,
+            buckets=self._buckets, k1=self.k1, b=self.b, slop=slop,
         )
 
     def find_topk_msm(self, terms: list[str], min_should_match: int,

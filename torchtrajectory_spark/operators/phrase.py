@@ -487,7 +487,8 @@ def topk_bm25_index_phrase(spark: SparkSession, index_dir: str,
                            phrase: list[str], k: int = 10,
                            buckets: int | None = None,
                            k1: float | None = None,
-                           b: float | None = None) -> DataFrame:
+                           b: float | None = None,
+                           slop: int | None = None) -> DataFrame:
     """PhraseQuery as a SCORING query (Lucene ``PhraseQuery`` ranking,
     not just the match-count surface): docs containing the exact phrase
     ranked by BM25 with the PHRASE frequency as tf —
@@ -499,6 +500,11 @@ def topk_bm25_index_phrase(spark: SparkSession, index_dir: str,
     constituent term's statistics (duplicates included) and the summed
     idf weights the phrase frequency; the exact-phrase docFreq is never
     computed (collection-expensive, same trade Lucene makes).
+
+    ``slop`` switches the occurrence kernel to the ordered-proximity
+    tuple counter (SpanNear window <= (n-1)+slop): the ranking becomes
+    the sloppy-phrase analog — same summed-idf weight, tf = proximity
+    tuple count. slop=0 counts the same matches as the exact phrase.
 
     Scale shape: ONE pass — the positional per-segment kernel
     (`_segment_phrase`, bucket+term-pruned scan) emits
@@ -540,8 +546,9 @@ def topk_bm25_index_phrase(spark: SparkSession, index_dir: str,
         empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                               "n_occ": pd.Series(dtype="int64"),
                               "dl": pd.Series(dtype="int64")})
-        r = _segment_phrase(
-            pdf[["term", "doc_gaps", "tfs", "poss"]], phrase)
+        blk = pdf[["term", "doc_gaps", "tfs", "poss"]]
+        r = (_segment_phrase(blk, phrase) if slop is None
+             else _segment_near(blk, phrase, int(slop)))
         if dead is not None and len(r):
             r = r[~sorted_isin(dead, r["doc_id"].to_numpy())]
         if not len(r):

@@ -245,13 +245,11 @@ SELECT doc_id, n_occ FROM occ WHERE n_occ > 0
 """.strip()
 
 
-def phrase_near_sql(terms: list[str], slop: int) -> str:
-    """Ordered proximity oracle (SpanNear analog): count strictly
-    increasing position tuples, one per query term in order, with
-    p_last - p_first <= (n-1) + slop — the exact tuple-counting semantics
-    of ``count_near_tuples``. Generated as nested DuckDB list lambdas
-    (outer lambda variables are capturable in inner lambdas; empty
-    list_sum coalesces to 0)."""
+def _near_occ_body(terms: list[str], slop: int) -> str:
+    """Nested DuckDB list-lambda expression counting strictly increasing
+    position tuples (one per query term, in order, window <= (n-1)+slop)
+    over a token-list column ``t`` — the exact tuple-counting semantics
+    of ``count_near_tuples``. Shared by the count and scored oracles."""
     n = len(terms)
     if n == 0:
         raise ValueError("empty proximity query")
@@ -273,13 +271,18 @@ def phrase_near_sql(terms: list[str], slop: int) -> str:
         )
 
     if n == 1:
-        body = f"len(list_filter(t, x -> x = '{esc(terms[0])}'))"
-    else:
-        body = (
-            f"coalesce(list_sum(list_transform(range(1, len(t) + 1), p0 -> "
-            f"CASE WHEN t[p0] = '{esc(terms[0])}' THEN {inner(1, 'p0')} "
-            f"ELSE 0 END)), 0)"
-        )
+        return f"len(list_filter(t, x -> x = '{esc(terms[0])}'))"
+    return (
+        f"coalesce(list_sum(list_transform(range(1, len(t) + 1), p0 -> "
+        f"CASE WHEN t[p0] = '{esc(terms[0])}' THEN {inner(1, 'p0')} "
+        f"ELSE 0 END)), 0)"
+    )
+
+
+def phrase_near_sql(terms: list[str], slop: int) -> str:
+    """Ordered proximity oracle (SpanNear analog) — see
+    :func:`_near_occ_body` for the tuple-count expression."""
+    body = _near_occ_body(terms, slop)
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1507,6 +1510,65 @@ occ AS (
            CAST(len(list_filter(range(1, len(t) - {n - 2}),
                                 i -> {conds})) AS BIGINT)
          ELSE 0 END AS n_occ
+  FROM toks
+),
+dl AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl FROM toks WHERE len(t) > 0
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, t.term FROM (
+    SELECT doc_id, unnest(t) AS term FROM toks
+  ) t
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tf WHERE term IN ({tl}) GROUP BY 1
+),
+pp AS (
+  SELECT * FROM (VALUES {pv}) v(pos, term)
+),
+widf AS (
+  SELECT sum(ln(1 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)))
+         AS idf_total
+  FROM pp JOIN dfs USING (term) CROSS JOIN stats
+),
+scores AS (
+  SELECT occ.doc_id,
+         widf.idf_total * occ.n_occ * ({k1} + 1)
+         / (occ.n_occ + {k1} * (1 - {b} + {b} * occ.dl / stats.avgdl))
+         AS score
+  FROM occ CROSS JOIN widf CROSS JOIN stats
+  WHERE occ.n_occ > 0
+)
+SELECT doc_id, CAST(round(score * 1e6) AS BIGINT) AS score_u6
+FROM scores
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def bm25_topk_near_sql(terms: list[str], slop: int, k: int,
+                       k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Scored sloppy-phrase oracle: ordered-proximity tuple count as tf,
+    summed constituent-term idf as weight — the ``slop`` variant of
+    :func:`bm25_topk_phrase_sql` over the shared tuple-count body."""
+    body = _near_occ_body(terms, slop)
+    tl = _terms_list(sorted(set(terms)))
+    pv = ", ".join(
+        f"({i}, '" + t.replace("'", "''") + "')"
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, len(t)::DOUBLE AS dl, CAST({body} AS BIGINT) AS n_occ
   FROM toks
 ),
 dl AS (

@@ -854,6 +854,13 @@ def q_topk_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _score_u6(_engine(spark, idx).find_topk_phrase(PHRASE_2, K))
 
 
+def q_topk_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored sloppy phrase: proximity tuple count as tf (r5)."""
+    idx = ensure_index(spark, sf_dir, with_positions=True)
+    return _score_u6(_engine(spark, idx).find_topk_phrase(
+        NEAR_Q, K, slop=NEAR_SLOP))
+
+
 def q_phrase_bigram_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = ensure_index(spark, sf_dir, with_positions=True)
     return phrase.phrase_count_index(spark, idx, PHRASE_2,
@@ -1313,6 +1320,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk_bm25_prefix": q_topk_bm25_prefix,
     "topk_bm25_wildcard": q_topk_bm25_wildcard,
     "topk_bm25_fuzzy": q_topk_bm25_fuzzy,
+    "topk_bm25_near": q_topk_bm25_near,  # r5 (scored sloppy phrase; the
+    # scoring wrapper's head evidence is topk_bm25_phrase at pos 40)
     "phrase_near_indexed": q_phrase_near_indexed,  # positional path also
     # driver-covered by phrase_bigram/trigram_indexed at head 1-2
     "topk_bm25_boolean": q_topk_bm25_boolean,
@@ -1405,6 +1414,7 @@ ORACLES: dict[str, str] = {
                                                 "or"),
     "date_histogram": oracles.date_histogram_sql(DATE_HIST_TYPE),
     "topk_bm25_phrase": oracles.bm25_topk_phrase_sql(PHRASE_2, K),
+    "topk_bm25_near": oracles.bm25_topk_near_sql(NEAR_Q, NEAR_SLOP, K),
     "index_stats": oracles.index_stats_sql(),
     "topk_bm25_boosted": oracles.bm25_topk_boosted_sql(BOOST_WEIGHTS, K),
     "spell_suggest": oracles.spell_suggest_sql(SPELL_Q, K, SPELL_EDITS),
