@@ -95,7 +95,8 @@ def open_index_meta(spark: SparkSession, index_dir: str) -> IndexMeta:
     return IndexMeta(
         n_docs=n_docs,
         avgdl=avgdl,
-        term_df={r["term"]: float(r["df"]) for r in dfs},
+        # clamped for the same racing-commit reason as query_term_meta
+        term_df={r["term"]: min(float(r["df"]), n_docs) for r in dfs},
     )
 
 
@@ -108,7 +109,17 @@ def query_term_meta(spark: SparkSession, index_dir: str,
 
     ``scalars`` = a cached (n_docs, avgdl) pair (two floats — bounded
     driver state, cacheable per opened index) skips the per-query
-    manifest aggregation job."""
+    manifest aggregation job.
+
+    df is CLAMPED to n_docs: the manifest scalars and the dictionary are
+    two separate reads, so a segment committing between them (streaming
+    ingest, in-place add) can hand this reader a df that counts a
+    segment its n_docs does not — df > N makes the BM25 idf NEGATIVE
+    (ln of < 1) and a match can score <= 0. Under any single consistent
+    snapshot df <= N holds and the clamp is a no-op; under racing
+    commits it pins the reader to a coherent-statistics view (the full
+    fix — a point-in-time segment list pinned across all of a query's
+    reads, Lucene's IndexReader contract — is the documented seam)."""
     from .index import read_index_config, read_terms
 
     n_docs, avgdl = (scalars if scalars is not None
@@ -125,7 +136,7 @@ def query_term_meta(spark: SparkSession, index_dir: str,
         .collect()
     )
     return IndexMeta(n_docs, avgdl,
-                     {r["term"]: float(r["df"]) for r in dfs})
+                     {r["term"]: min(float(r["df"]), n_docs) for r in dfs})
 
 
 def _q_blocks(spark: SparkSession, index_dir: str, q: list[str],
